@@ -1,0 +1,40 @@
+"""Global numerics configuration.
+
+The reference keeps a handful of module-level globals that act as feature
+flags for the quantization primitives (see /root/reference/models/model_utils/
+netbin.py:74-79).  We keep them in one explicit config object instead of
+scattered module globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class NumericsConfig:
+    # weight decay folded into the binarizer gradient
+    # (netbin.py:74 ``g_weight_decay``)
+    weight_decay: float = 1e-7
+    # channel width multiplier (netbin.py:75 ``g_channel_scale``)
+    channel_scale: float = 1.0
+    # scale of the tanh' STE surrogate for the Heaviside backward; ``None``
+    # selects the sign(hardtanh) mask surrogate instead
+    # (netbin.py:76 ``g_bingrad_soft_tanh_scale``)
+    bingrad_soft_tanh_scale: float | None = 1.0
+    # std of the initial ``weight_mask`` parameter (netbin.py:77)
+    weight_mask_std: float = 0.01
+    # scalar-scale ("temperature") mode for the last BN layer (netbin.py:78)
+    use_scalar_scale_last_layer: bool = True
+    # drop the last BN layer entirely (netbin.py:79)
+    remove_last_bn: bool = False
+
+
+# The process-wide default.  Tests may swap it; model builders snapshot the
+# values they need at construction time so traced functions stay pure.
+numerics = NumericsConfig()
+
+
+def scale_channels(x: int) -> int:
+    """Channel width scaling (netbin.py:81-82)."""
+    return max(int(round(x * numerics.channel_scale)), 1)

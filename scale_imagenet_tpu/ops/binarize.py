@@ -1,0 +1,122 @@
+"""Heaviside {0,1} activations with straight-through surrogate gradients.
+
+Semantics match the reference ``Binarize01Act`` family:
+
+* plain Heaviside ``(x >= 0) -> {0, 1}`` with a ``tanh'`` STE backward
+  (netbin.py:184-239 in the reference), optionally the ``sign(hardtanh)``
+  mask surrogate when the soft-tanh scale is disabled;
+* the thresholded/noisy variant with a dead zone of width ``T`` in which the
+  output is rounded randomly (TT_FHE_SMALL.py:176-248 in the reference) —
+  deterministic Heaviside when ``T == 0``;
+* the ``rsloss`` activation-stability loss used by the certified-robustness
+  forward modes.
+
+All functions are pure; randomness is threaded through explicit
+``jax.random`` keys (the reference relied on torch global RNG state).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import numerics
+
+
+def _ste_grad(x: jnp.ndarray, g: jnp.ndarray, grad_scale) -> jnp.ndarray:
+    """Backward surrogate for all Heaviside variants.
+
+    With a soft-tanh scale ``s`` configured (the default), the surrogate is
+    ``g * (1 - tanh(x * s)^2)``; otherwise it is the hardtanh indicator
+    ``g * (|x| <= 1)`` (netbin.py:203-210).
+    """
+    if numerics.bingrad_soft_tanh_scale is not None:
+        scale = grad_scale * numerics.bingrad_soft_tanh_scale
+        t = jnp.tanh(x * scale)
+        return (1.0 - t * t) * g
+    return (jnp.abs(x) <= 1).astype(g.dtype) * g
+
+
+@jax.custom_vjp
+def heaviside01(x: jnp.ndarray, grad_scale: jnp.ndarray) -> jnp.ndarray:
+    """``(x >= 0)`` in {0, 1} with STE backward; ``grad_scale`` scales the
+    surrogate's input (it receives no gradient itself)."""
+    return (x >= 0).astype(x.dtype)
+
+
+def _heaviside01_fwd(x, grad_scale):
+    return heaviside01(x, grad_scale), (x, grad_scale)
+
+
+def _heaviside01_bwd(res, g):
+    x, grad_scale = res
+    return _ste_grad(x, g, grad_scale), jnp.zeros_like(grad_scale)
+
+
+heaviside01.defvjp(_heaviside01_fwd, _heaviside01_bwd)
+
+
+@jax.custom_vjp
+def _heaviside01_noisy_core(x, noise, half_t, grad_scale):
+    # forward: 1[x >= T/2] + 1[-T/2 <= x < T/2] * Bernoulli(1/2)
+    # (TT_FHE_SMALL.py:186-192)
+    ones = (x >= half_t).astype(x.dtype)
+    dead = (x < half_t).astype(x.dtype) - (x < -half_t).astype(x.dtype)
+    return ones + dead * noise
+
+
+def _heaviside01_noisy_fwd(x, noise, half_t, grad_scale):
+    out = _heaviside01_noisy_core(x, noise, half_t, grad_scale)
+    return out, (x, grad_scale)
+
+
+def _heaviside01_noisy_bwd(res, g):
+    x, grad_scale = res
+    return (
+        _ste_grad(x, g, grad_scale),
+        None,
+        None,
+        jnp.zeros_like(grad_scale),
+    )
+
+
+_heaviside01_noisy_core.defvjp(_heaviside01_noisy_fwd, _heaviside01_noisy_bwd)
+
+
+def heaviside01_noisy(
+    x: jnp.ndarray,
+    T: float,
+    key: jax.Array,
+    grad_scale: jnp.ndarray | float = 1.0,
+) -> jnp.ndarray:
+    """Thresholded Heaviside with random rounding in the dead zone
+    ``[-T/2, T/2)``.  ``key`` drives the Bernoulli(1/2) coin flips."""
+    noise = jax.random.bernoulli(key, 0.5, x.shape).astype(x.dtype)
+    grad_scale = jnp.asarray(grad_scale, dtype=x.dtype)
+    return _heaviside01_noisy_core(x, noise, jnp.asarray(T / 2, x.dtype),
+                                   grad_scale)
+
+
+def binarize01_act(
+    x: jnp.ndarray,
+    T: float = 0.0,
+    key: jax.Array | None = None,
+    grad_scale: jnp.ndarray | float = 1.0,
+) -> jnp.ndarray:
+    """The user-facing activation: deterministic when ``T == 0`` (the shipped
+    ImageNet models), noisy dead-zone rounding otherwise."""
+    grad_scale = jnp.asarray(grad_scale, dtype=x.dtype)
+    if T == 0.0:
+        return heaviside01(x, grad_scale)
+    if key is None:
+        raise ValueError("binarize01_act with T != 0 needs a PRNG key")
+    return heaviside01_noisy(x, T, key, grad_scale)
+
+
+def rsloss(vmin: jnp.ndarray, vmax: jnp.ndarray) -> jnp.ndarray:
+    """Activation-stability loss ``sum(1 - tanh(1 + vmin * vmax))``
+    accumulated at each Heaviside during the certified forward modes
+    (netbin.py:222-223)."""
+    return jnp.sum(1.0 - jnp.tanh(1.0 + vmin * vmax))
