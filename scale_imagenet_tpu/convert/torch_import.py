@@ -1,0 +1,116 @@
+"""PyTorch -> JAX checkpoint conversion.
+
+Handles the reference's released checkpoints (saved *after* the DDP/
+DataParallel wrap, so keys carry a ``module.`` prefix — main.py:220-222),
+transposes conv weights OIHW -> HWIO and linear weights (out,in) -> (in,out),
+and splits BN entries into trainable params and running-stat state.
+
+Input is a flat ``{name: np.ndarray}`` mapping; use ``load_torch_state_dict``
+to produce one from a ``.pth`` file without importing torch at module scope.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def strip_module_prefix(sd: Mapping[str, np.ndarray]) -> dict:
+    """Drop the DataParallel/DDP ``module.`` key prefix
+    (test_fused_quant_model.py:92-96 pattern)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def conv_weight_to_hwio(w: np.ndarray) -> jnp.ndarray:
+    """torch OIHW -> HWIO."""
+    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def linear_weight_to_io(w: np.ndarray) -> jnp.ndarray:
+    """torch (out, in) -> (in, out)."""
+    return jnp.asarray(np.transpose(w))
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch ``.pth`` into numpy arrays (CPU, no autograd)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in ckpt.items()
+            if hasattr(v, "detach")}
+
+
+def _bn(sd: Mapping[str, np.ndarray], prefix: str):
+    params = {
+        "weight": jnp.asarray(sd[f"{prefix}.weight"]),
+        "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+    }
+    state = {
+        "running_mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
+        "running_var": jnp.asarray(sd[f"{prefix}.running_var"]),
+    }
+    return params, state
+
+
+def _block_tt(sd: Mapping[str, np.ndarray], prefix: str):
+    bn1_p, bn1_s = _bn(sd, f"{prefix}.bn1")
+    bn2_p, bn2_s = _bn(sd, f"{prefix}.bn2")
+    params = {
+        "conv1": {"weight": conv_weight_to_hwio(sd[f"{prefix}.conv1.weight"])},
+        "bn1": bn1_p,
+        "conv2": {"weight": conv_weight_to_hwio(sd[f"{prefix}.conv2.weight"])},
+        "bn2": bn2_p,
+    }
+    state = {"bn1": bn1_s, "bn2": bn2_s}
+    return params, state
+
+
+def import_ttnet_imagenet(sd: Mapping[str, np.ndarray], cfg):
+    """Convert a ``TT_vf_19lv3_imgnet_*`` state dict to this framework's
+    (params, state) for ``ttnet_imagenet_apply``.
+
+    Reference layout (TT_general_imagenet_v2_small.py:163-203): features[0]
+    AvgPool, [1] stem conv, [2] stem BN, [3] act, [4..] blocks, then
+    AvgPool, Flatten, Classifier_scale.
+    """
+    sd = strip_module_prefix(sd)
+    n_blocks = len(cfg.block_configs())
+
+    stem_bn_p, stem_bn_s = _bn(sd, "features.2")
+    params = {
+        "stem_conv": {"weight": conv_weight_to_hwio(sd["features.1.weight"])},
+        "stem_bn": stem_bn_p,
+    }
+    state = {"stem_bn": stem_bn_s}
+
+    for i in range(n_blocks):
+        base = f"features.{4 + i}"
+        bp, bs = {}, {}
+        for torch_name, ours in (("Block_conv1", "conv1"),
+                                 ("Block_conv2", "conv2"),
+                                 ("Block_conv3", "conv3"),
+                                 ("Block_convf", "convf")):
+            if f"{base}.{torch_name}.conv1.weight" in sd:
+                bp[ours], bs[ours] = _block_tt(sd, f"{base}.{torch_name}")
+        params[f"block{i}"] = bp
+        state[f"block{i}"] = bs
+
+    cls = f"features.{4 + n_blocks + 2}"  # skip AvgPool + Flatten
+    cls_bn_p, cls_bn_s = _bn(sd, f"{cls}.BN2")
+    params["classifier"] = {
+        "lin1": {"weight": linear_weight_to_io(sd[f"{cls}.lin1.weight"])},
+        "bn": cls_bn_p,
+        "lin2": {
+            "weight": linear_weight_to_io(sd[f"{cls}.lin2.weight"]),
+            "bias": jnp.asarray(sd[f"{cls}.lin2.bias"]),
+        },
+    }
+    state["classifier"] = {"bn": cls_bn_s}
+    return params, state

@@ -1,0 +1,233 @@
+"""The multi-head TTnet block: several parallel Block_TT heads over the same
+input, shape-reconciled, channel-interleaved and fused by a 1x1 TT block.
+
+One parameterized implementation replaces the reference's per-file copies
+(canonical: Block_resnet_multihead_general_BN_vf_imgnet_v2small,
+TT_general_imagenet_v2_small.py:21-148).
+
+The reference reconciles the heads' slightly different output sizes with a
+runtime if-chain keyed on ``x.shape[-1]``; shapes are static under jit, so
+the same tables are evaluated here at trace time (``FIXUP_RULES``) and must
+be replicated exactly — the pad *corner* (top-left for the first 56x56
+stage, bottom-right elsewhere) shifts feature alignment and is part of the
+trained models' semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..layers.pool import avg_pool, zero_pad2d
+from ..ops.binarize import binarize01_act
+from .block_tt import BlockTTConfig, block_tt, block_tt_out_size, init_block_tt
+
+# torch ZeroPad2d tuples: (left, right, top, bottom)
+_PAD0 = (1, 0, 1, 0)    # +1 top-left
+_PAD2 = (0, 1, 0, 1)    # +1 bottom-right
+_PAD3 = (0, 2, 0, 2)    # +2 bottom-right
+_PAD21 = (0, 0, 0, 1)   # +1 bottom
+_PAD31 = (0, 1, 0, 0)   # +1 right
+
+
+def _fixup_v2small(xw: int, out1w: int) -> dict:
+    """TT_general_imagenet_v2_small.py:102-139 as a trace-time table.
+    Returns {head_index: pad_tuple}."""
+    if xw == 56 and out1w == 58:
+        return {1: _PAD21, 2: _PAD31, 3: _PAD3, 4: _PAD3}
+    if xw == 56:
+        return {3: _PAD0, 4: _PAD0}
+    if xw in (29, 57, 16, 15, 8, 58, 30):
+        return {3: _PAD2, 4: _PAD2}
+    if xw == 9 and out1w == 6:
+        return {1: _PAD21, 2: _PAD31, 3: _PAD3, 4: _PAD3}
+    return {}
+
+
+def _fixup_v2(xw: int, out1w: int) -> dict:
+    """TT_general_imagenet_v2.py:102-127 — the asymmetric-kernel (6x5/5x6)
+    family: out1/out2 need their own 1-pixel pads at 56 and 29."""
+    if xw == 56 and out1w == 58:
+        return {1: _PAD21, 2: _PAD31, 3: _PAD3, 4: _PAD3}
+    if xw == 56:
+        return {3: _PAD0, 4: _PAD0}
+    if xw == 29:
+        return {1: _PAD21, 2: _PAD31, 3: _PAD3, 4: _PAD3}
+    if xw == 16:
+        return {3: _PAD2, 4: _PAD2}
+    if xw == 9 and out1w == 6:
+        return {1: _PAD21, 2: _PAD31, 3: _PAD3, 4: _PAD3}
+    if xw in (58, 30):
+        return {3: _PAD2, 4: _PAD2}
+    return {}
+
+
+def _fixup_fhe_v3(xw: int, out1w: int) -> dict:
+    """TT_FHE_SMALL.py:516-562 (the v3 CIFAR block) as a table."""
+    _PAD_B2 = (0, 0, 0, 2)
+    _PAD_R2 = (0, 2, 0, 0)
+    if xw == 16 and out1w == 17:
+        return {3: _PAD2, 4: _PAD2}
+    if xw == 17:
+        return {3: _PAD2, 4: _PAD2}
+    if xw == 4 and out1w == 4:
+        return {1: _PAD_B2, 2: _PAD_R2}
+    if xw in (9, 7):
+        return {3: _PAD2, 4: _PAD2}
+    return {}
+
+
+FIXUP_RULES = {
+    "v2small": _fixup_v2small,  # also the xsmall table (identical if-chain)
+    "v2": _fixup_v2,
+    "fhe_v3": _fixup_fhe_v3,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiHeadConfig:
+    in_planes: int
+    out_planes: int
+    stride: int = 1
+    last: bool = False
+    T: float = 0.0
+    # per-head group divisors, None = head disabled
+    # (g -> Block_TT groupsici = in_planes / g)
+    groups: tuple = (1, 1, 16, 1)
+    # conv-head kernels and paddings (heads 1 and 2)
+    k12: tuple = (4, 4)
+    pad12: tuple = (2, 2)
+    groupvf: int = 16
+    out_mult: int = 2          # fused head outputs out_mult * out_planes
+    t: int = 8
+    fixup: str = "v2small"
+    T_convf: float = 0.0
+
+    def head_cfgs(self) -> dict:
+        """BlockTTConfig per enabled conv head (1-indexed)."""
+        g1, g2, g3, g4 = self.groups
+        cfgs = {}
+        if g1 is not None:
+            cfgs[1] = BlockTTConfig(
+                self.in_planes, self.in_planes, k=self.k12[0], t=self.t,
+                padding=self.pad12[0], stride=self.stride,
+                groupsici=self.in_planes // g1, T=self.T)
+        if g2 is not None:
+            cfgs[2] = BlockTTConfig(
+                self.in_planes, self.in_planes, k=self.k12[1], t=self.t,
+                padding=self.pad12[1], stride=self.stride,
+                groupsici=self.in_planes // g2, T=self.T)
+        if g3 is not None:
+            cfgs[3] = BlockTTConfig(
+                self.in_planes, self.in_planes, k=1, t=self.t,
+                padding=0, stride=1,
+                groupsici=self.in_planes // g3, T=self.T)
+        return cfgs
+
+    @property
+    def cpt(self) -> int:
+        return sum(1 for g in self.groups if g is not None)
+
+    def convf_cfg(self) -> BlockTTConfig:
+        cin = self.cpt * self.in_planes
+        cout = cin if self.last else self.out_mult * self.out_planes
+        return BlockTTConfig(
+            cin, cout, k=1, t=self.t, padding=0, stride=1,
+            groupsici=cin // self.groupvf, T=self.T_convf, last=self.last)
+
+    @property
+    def out_channels(self) -> int:
+        return self.convf_cfg().out_planes
+
+
+def init_multihead(key: jax.Array, cfg: MultiHeadConfig, dtype=jnp.float32):
+    heads = cfg.head_cfgs()
+    keys = jax.random.split(key, len(heads) + 1)
+    params, state = {}, {}
+    for (idx, hcfg), k in zip(sorted(heads.items()), keys[:-1]):
+        p, s = init_block_tt(k, hcfg, dtype)
+        params[f"conv{idx}"] = p
+        state[f"conv{idx}"] = s
+    p, s = init_block_tt(keys[-1], cfg.convf_cfg(), dtype)
+    params["convf"] = p
+    state["convf"] = s
+    return params, state
+
+
+def channel_interleave(x: jnp.ndarray, cpt: int) -> jnp.ndarray:
+    """The concat-shuffle: torch view(n, cpt, c/cpt, ...).transpose(1, 2)
+    (TT_general_imagenet_v2_small.py:144-147), on the NHWC channel axis."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, cpt, c // cpt)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(n, h, w, c)
+
+
+def multihead_block(
+    params: dict,
+    state: dict,
+    cfg: MultiHeadConfig,
+    x: jnp.ndarray,
+    training: bool = False,
+    key: jax.Array | None = None,
+):
+    """Returns ``(y, new_state)``."""
+    heads = cfg.head_cfgs()
+    new_state = {}
+    keys = {}
+    if key is not None:
+        ks = jax.random.split(key, 6)
+        keys = {i: ks[i - 1] for i in range(1, 7)}  # 5: out3 re-pool, 6: convf
+
+    outs = {}
+    for idx in sorted(heads):
+        outs[idx], new_state[f"conv{idx}"] = block_tt(
+            params[f"conv{idx}"], state[f"conv{idx}"], heads[idx], x,
+            training=training, key=keys.get(idx))
+
+    # head 4: identity at stride 1; avg-pool + re-binarize at stride 2,
+    # which also re-pools head 3 (TT_general_imagenet_v2_small.py:91-96)
+    if cfg.stride == 2:
+        outs[4] = binarize01_act(avg_pool(x, 2) - 0.5, T=cfg.T,
+                                 key=keys.get(4))
+        outs[3] = binarize01_act(avg_pool(outs[3], 2) - 0.5, T=cfg.T,
+                                 key=keys.get(5))
+    else:
+        outs[4] = x
+
+    pads = FIXUP_RULES[cfg.fixup](x.shape[2], outs[1].shape[2])
+    for idx, pad in pads.items():
+        if idx in outs:
+            outs[idx] = zero_pad2d(outs[idx], pad)
+
+    cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    cat = channel_interleave(cat, cfg.cpt)
+
+    y, new_state["convf"] = block_tt(
+        params["convf"], state["convf"], cfg.convf_cfg(), cat,
+        training=training, key=keys.get(6))
+    return y, new_state
+
+
+def multihead_out_size(cfg: MultiHeadConfig, h: int, w: int):
+    """Static output spatial size including the fixup pads."""
+    heads = cfg.head_cfgs()
+    sizes = {i: block_tt_out_size(heads[i], h, w) for i in heads}
+    if cfg.stride == 2:
+        sizes[4] = (h // 2, w // 2)
+        sizes[3] = (sizes[3][0] // 2, sizes[3][1] // 2)
+    else:
+        sizes[4] = (h, w)
+    pads = FIXUP_RULES[cfg.fixup](w, sizes[1][1])
+    for idx, (l, r, t, b) in pads.items():
+        if idx in sizes:
+            sh, sw = sizes[idx]
+            sizes[idx] = (sh + t + b, sw + l + r)
+    first = sizes[sorted(sizes)[0]]
+    if any(s != first for s in sizes.values()):
+        raise ValueError(
+            f"multi-head shape mismatch after fixup: {sizes} "
+            f"(input {h}x{w}, cfg {cfg})")
+    return first

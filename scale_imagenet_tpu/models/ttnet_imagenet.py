@@ -1,0 +1,151 @@
+"""The TTnet ImageNet v2 model family as configs over one implementation.
+
+Reference classes (one near-identical file each):
+
+* ``TT_vf_19lv3_imgnet_small``  — TT_general_imagenet_v2_small.py:151-207,
+  the shipped TTnet-Small (41.594%/65.126% on ImageNet-val with
+  ``--layers 1``, nfilter*tfilter = 64);
+* ``TT_vf_19lv3_imgnet_xsmall`` — TT_general_imagenet_v2_xsmall.py:151;
+* ``TT_vf_19lv3_imgnet``        — TT_general_imagenet_v2.py:139.
+
+Skeleton: AvgPool2d(2) -> Conv(3->p, k7, s2, p3) -> BN -> Heaviside ->
+stage list of multi-head blocks (in_planes doubling chain) -> AvgPool2d(2)
+-> Flatten -> Classifier_scale.  The classifier input width is computed by
+static shape inference, replacing the reference's dummy CPU forward at
+construction time (``linear_input_neurons``,
+TT_general_imagenet_v2_small.py:205-207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..layers.conv import conv2d, init_conv2d
+from ..layers.norm import batch_norm, init_batch_norm
+from ..layers.pool import avg_pool, flatten
+from ..ops.binarize import binarize01_act
+from .classifier import classifier_scale, init_classifier_scale
+from .multihead import MultiHeadConfig, init_multihead, multihead_block, \
+    multihead_out_size
+
+# Per-variant multi-head block parameters.
+BLOCK_VARIANTS = {
+    "small": dict(k12=(4, 4), pad12=(2, 2), groups=(1, 1, 16, 1),
+                  groupvf=16, fixup="v2small"),
+    "xsmall": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
+                   groupvf=4, fixup="v2small"),
+    "v2": dict(k12=((6, 5), (5, 6)), pad12=(3, 3), groups=(1, 1, 30, 1),
+               groupvf=30, fixup="v2"),
+}
+
+
+def _stage_cfg(p: int, layers: int):
+    """The ``--layers`` stage tables (TT_general_imagenet_v2_small.py:172-181).
+    Entries are (out_planes, stride)."""
+    tables = {
+        0: [(p, 2), (2 * p, 2)],
+        1: [(p, 2), (2 * p, 2), (4 * p, 2)],
+        2: [(p, 2), (2 * p, 2), (4 * p, 2), (8 * p, 2)],
+        3: [(p, 1), (2 * p, 2), (4 * p, 2), (8 * p, 2)],
+        4: [(p, 1), (2 * p, 2), (2 * p, 1), (4 * p, 2), (8 * p, 2)],
+    }
+    return tables[layers]
+
+
+@dataclasses.dataclass(frozen=True)
+class TTnetImageNetConfig:
+    variant: str = "small"
+    nfilter: int = 8
+    tfilter: int = 8
+    layers: int = 1
+    num_classes: int = 1000
+    image_size: int = 224
+    classifier_inter: int = 1000
+
+    @property
+    def p(self) -> int:
+        return self.nfilter * self.tfilter
+
+    def block_configs(self) -> list[MultiHeadConfig]:
+        stages = _stage_cfg(self.p, self.layers)
+        last_out = stages[-1][0]
+        in_planes = self.p
+        cfgs = []
+        for out_planes, stride in stages:
+            last = out_planes == last_out
+            cfgs.append(MultiHeadConfig(
+                in_planes=in_planes, out_planes=out_planes, stride=stride,
+                last=last, **BLOCK_VARIANTS[self.variant]))
+            in_planes = 2 * out_planes
+        return cfgs
+
+    def feature_shape(self) -> tuple[int, int, int]:
+        """(H, W, C) entering the flatten, computed statically."""
+        s = self.image_size // 2          # stem AvgPool2d(2)
+        s = (s + 2 * 3 - 7) // 2 + 1      # stem conv k7 s2 p3
+        h = w = s
+        c = self.p
+        for cfg in self.block_configs():
+            h, w = multihead_out_size(cfg, h, w)
+            c = cfg.out_channels
+        return h // 2, w // 2, c          # trailing AvgPool2d(2)
+
+    @property
+    def fcsize(self) -> int:
+        h, w, c = self.feature_shape()
+        return h * w * c
+
+
+def init_ttnet_imagenet(key: jax.Array, cfg: TTnetImageNetConfig,
+                        dtype=jnp.float32):
+    blocks = cfg.block_configs()
+    keys = jax.random.split(key, len(blocks) + 2)
+    stem_bn_p, stem_bn_s = init_batch_norm(cfg.p, dtype)
+    params: dict[str, Any] = {
+        "stem_conv": init_conv2d(keys[0], 3, cfg.p, 7, bias=False,
+                                 dtype=dtype),
+        "stem_bn": stem_bn_p,
+    }
+    state: dict[str, Any] = {"stem_bn": stem_bn_s}
+    for i, (bcfg, k) in enumerate(zip(blocks, keys[1:-1])):
+        p, s = init_multihead(k, bcfg, dtype)
+        params[f"block{i}"] = p
+        state[f"block{i}"] = s
+    cls_p, cls_s = init_classifier_scale(
+        keys[-1], cfg.fcsize, cfg.classifier_inter, cfg.num_classes, dtype)
+    params["classifier"] = cls_p
+    state["classifier"] = cls_s
+    return params, state
+
+
+def ttnet_imagenet_features(params, state, cfg: TTnetImageNetConfig, x,
+                            training=False, key=None):
+    """Everything before the classifier; ``x`` is NHWC float32."""
+    new_state = {}
+    x = avg_pool(x, 2)
+    x = conv2d(params["stem_conv"], x, stride=2, padding=3)
+    x, new_state["stem_bn"] = batch_norm(params["stem_bn"], state["stem_bn"],
+                                         x, training)
+    x = binarize01_act(x)
+    for i, bcfg in enumerate(cfg.block_configs()):
+        bkey = None if key is None else jax.random.fold_in(key, i)
+        x, new_state[f"block{i}"] = multihead_block(
+            params[f"block{i}"], state[f"block{i}"], bcfg, x,
+            training=training, key=bkey)
+    x = avg_pool(x, 2)
+    x = flatten(x)
+    return x, new_state
+
+
+def ttnet_imagenet_apply(params, state, cfg: TTnetImageNetConfig, x,
+                         training=False, key=None):
+    """Full forward.  Returns ``(logits, new_state)``."""
+    x, new_state = ttnet_imagenet_features(params, state, cfg, x,
+                                           training=training, key=key)
+    logits, new_state["classifier"] = classifier_scale(
+        params["classifier"], state["classifier"], x, training)
+    return logits, new_state
