@@ -27,13 +27,19 @@ def strip_module_prefix(sd: Mapping[str, np.ndarray]) -> dict:
 
 
 def conv_weight_to_hwio(w: np.ndarray) -> jnp.ndarray:
-    """torch OIHW -> HWIO."""
-    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+    """torch OIHW -> HWIO.
+
+    NB: all conversions here use ``jnp.array`` (copying), never
+    ``jnp.asarray`` — on the CPU backend asarray can zero-copy a numpy view
+    of torch storage, and subsequent in-place torch mutation (e.g. BN
+    running-stat updates) would silently corrupt the converted params.
+    """
+    return jnp.array(np.transpose(w, (2, 3, 1, 0)))
 
 
 def linear_weight_to_io(w: np.ndarray) -> jnp.ndarray:
     """torch (out, in) -> (in, out)."""
-    return jnp.asarray(np.transpose(w))
+    return jnp.array(np.transpose(w))
 
 
 def load_torch_state_dict(path: str) -> dict:
@@ -49,12 +55,12 @@ def load_torch_state_dict(path: str) -> dict:
 
 def _bn(sd: Mapping[str, np.ndarray], prefix: str):
     params = {
-        "weight": jnp.asarray(sd[f"{prefix}.weight"]),
-        "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+        "weight": jnp.array(sd[f"{prefix}.weight"]),
+        "bias": jnp.array(sd[f"{prefix}.bias"]),
     }
     state = {
-        "running_mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
-        "running_var": jnp.asarray(sd[f"{prefix}.running_var"]),
+        "running_mean": jnp.array(sd[f"{prefix}.running_mean"]),
+        "running_var": jnp.array(sd[f"{prefix}.running_var"]),
     }
     return params, state
 
@@ -109,7 +115,7 @@ def import_ttnet_imagenet(sd: Mapping[str, np.ndarray], cfg):
         "bn": cls_bn_p,
         "lin2": {
             "weight": linear_weight_to_io(sd[f"{cls}.lin2.weight"]),
-            "bias": jnp.asarray(sd[f"{cls}.lin2.bias"]),
+            "bias": jnp.array(sd[f"{cls}.lin2.bias"]),
         },
     }
     state["classifier"] = {"bn": cls_bn_s}

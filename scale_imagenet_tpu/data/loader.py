@@ -1,0 +1,108 @@
+"""Threaded batch loader with double-buffered device prefetch.
+
+Replaces the reference's 6-worker-process torch DataLoader + per-batch
+``.cuda(non_blocking=True)`` H2D copies (main.py:214-215, 255-258) with:
+host thread pool for decode/augment -> pinned numpy batches -> an async
+``jax.device_put`` prefetch queue (depth 2) so the device never waits on
+the host, and batches can land pre-sharded across a mesh.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import jax
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 6, drop_last: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last and batches and \
+                len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        from collections import deque
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # submit per-item futures, two batches ahead (no nested submits:
+            # a fetch-task waiting on item-tasks in the same pool deadlocks)
+            def submit(batch_idx):
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in batch_idx]
+
+            it = iter(batches)
+            pending: deque = deque()
+            for _ in range(2):
+                b = next(it, None)
+                if b is not None:
+                    pending.append(submit(b))
+            while pending:
+                items = [f.result() for f in pending.popleft()]
+                b = next(it, None)
+                if b is not None:
+                    pending.append(submit(b))
+                images = np.stack([i[0] for i in items])
+                labels = np.asarray([i[1] for i in items], np.int32)
+                yield images, labels
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Asynchronously stage host batches onto device(s), ``size`` deep.
+
+    ``sharding`` may be a (images_sharding, labels_sharding) pair to land
+    batches directly distributed over a mesh.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        images, labels = batch
+        if sharding is not None:
+            images = jax.device_put(images, sharding[0])
+            labels = jax.device_put(labels, sharding[1])
+        else:
+            images = jax.device_put(images)
+            labels = jax.device_put(labels)
+        q.put((images, labels))
+
+    def producer():
+        try:
+            for batch in iterator:
+                put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,163 @@
+"""CLI entry point — the TPU-native equivalent of the reference main.py.
+
+Evaluate (default) or train a TTnet model on ImageNet:
+
+    python -m scale_imagenet_tpu.main --data_dir /path/to/imagenet \
+        --ckpt ./ckpt/last.pth --eval_batch_size 256
+
+Differences from the reference harness by design:
+* one SPMD program over a jax.sharding.Mesh instead of mp.spawn + DDP/NCCL
+  (main.py:95-192) — --mesh_data/--mesh_model pick the axes;
+* checkpoints load either native (orbax) or reference torch ``.pth`` files
+  (converted on the fly);
+* the input pipeline is the threaded double-buffered device feeder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TTnet TPU harness")
+    p.add_argument("--mode", choices=["eval", "train"], default="eval")
+    p.add_argument("--root_dir", type=str, default="./")
+    p.add_argument("--data_dir", type=str,
+                   default="./../datasets/ILSVRC/Data/CLS-LOC/")
+    p.add_argument("--log_name", type=str, default="ttnet_imagenet_small")
+    p.add_argument("--model", type=str, default="ttnet_imagenet_small")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help=".pth (torch) or orbax checkpoint dir")
+
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument("--train_batch_size", type=int, default=256)
+    p.add_argument("--eval_batch_size", type=int, default=100)
+    p.add_argument("--max_epochs", type=int, default=90)
+    p.add_argument("--log_interval", type=int, default=40)
+    p.add_argument("--num_workers", type=int, default=6)
+
+    p.add_argument("--nfilter", type=int, default=8)
+    p.add_argument("--tfilter", type=int, default=8)
+    p.add_argument("--layers", type=int, default=1)
+
+    p.add_argument("--mesh_data", type=int, default=-1,
+                   help="data-parallel mesh axis (-1: all devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-parallel mesh axis")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build(cfg):
+    from .models import get_model
+
+    return get_model(cfg.model, nfilter=cfg.nfilter, tfilter=cfg.tfilter,
+                     layers=cfg.layers)
+
+
+def load_params(cfg, model):
+    from .runtime.checkpoint import load_checkpoint
+
+    if cfg.ckpt is None:
+        return model.init(jax.random.PRNGKey(cfg.seed))
+    if cfg.ckpt.endswith(".pth") or cfg.ckpt.endswith(".t7"):
+        from .convert.torch_import import import_ttnet_imagenet, \
+            load_torch_state_dict
+
+        sd = load_torch_state_dict(cfg.ckpt)
+        return import_ttnet_imagenet(sd, model.config)
+    payload = load_checkpoint(cfg.ckpt)
+    return payload["params"], payload["state"]
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+
+    date = str(datetime.now()).replace(" ", "_").replace("-", "_") \
+        .replace(":", "_").replace(".", "_")
+    log_dir = os.path.join(cfg.root_dir, "logs", cfg.log_name, date)
+    ckpt_dir = os.path.join(cfg.root_dir, "ckpt", cfg.log_name, date)
+
+    from .data import DataLoader, ImageFolder, device_prefetch, \
+        imagenet_eval_transform, imagenet_train_transform
+    from .parallel import batch_sharding, make_mesh
+    from .runtime.evaluate import evaluate
+    from .train import MetricsLogger, make_eval_step
+
+    model = build(cfg)
+    params, state = load_params(cfg, model)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"model {model.name}: {n_params:,} params, "
+          f"fcsize {model.config.fcsize}")
+
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+    logger = MetricsLogger(log_dir)
+
+    if cfg.mode == "eval":
+        ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
+                         imagenet_eval_transform)
+        print(f"eval dataset: {len(ds)} images / {len(ds.classes)} classes")
+        loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
+                            num_workers=cfg.num_workers, drop_last=True)
+        eval_step = make_eval_step(model, mesh)
+        shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
+        top1, top5, loss = evaluate(
+            eval_step, params, state,
+            device_prefetch(iter(loader), sharding=shardings),
+            logger=logger, log_interval=cfg.log_interval)
+        print(f"final: top1 {top1:.3f}% top5 {top5:.3f}% loss {loss:.4f}")
+        return top1, top5
+
+    # train mode
+    from .parallel.sharding import shard_params
+    from .runtime.checkpoint import CheckpointManager
+    from .train import TrainState, make_optimizer, make_train_step
+
+    train_ds = ImageFolder(os.path.join(cfg.data_dir, "train"),
+                           imagenet_train_transform)
+    loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
+                        num_workers=cfg.num_workers, drop_last=True,
+                        seed=cfg.seed)
+    steps_per_epoch = len(loader)
+    tx, schedule = make_optimizer(cfg.lr, weight_decay=cfg.wd,
+                                  milestones=(30, 60, 90),
+                                  steps_per_epoch=steps_per_epoch)
+    with mesh:
+        params = shard_params(params, mesh)
+        state = shard_params(state, mesh)
+        ts = TrainState(params, state, tx.init(params),
+                        jnp.zeros((), jnp.int32))
+        train_step = make_train_step(model, tx, mesh)
+        ckpt = CheckpointManager(ckpt_dir)
+        shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
+
+        key = jax.random.PRNGKey(cfg.seed)
+        for epoch in range(cfg.max_epochs):
+            loader.set_epoch(epoch)
+            for i, (images, labels) in enumerate(
+                    device_prefetch(iter(loader), sharding=shardings)):
+                key, sub = jax.random.split(key)
+                ts, metrics = train_step(ts, images, labels, sub)
+                if i % cfg.log_interval == 0:
+                    step = epoch * steps_per_epoch + i
+                    loss = float(metrics["loss"])
+                    print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
+                          f"loss {loss:.4f} top1 {float(metrics['top1']):.2f}")
+                    logger.add_scalar("Loss/train", loss, step)
+                    logger.add_scalar("Accuracy/train",
+                                      float(metrics["top1"]), step)
+            ckpt.save(int(ts.step), {
+                "params": ts.params, "state": ts.model_state,
+                "opt_state": ts.opt_state, "step": int(ts.step)})
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Checkpoint/resume.
+
+Orbax-backed pytree checkpoints with the reference's ergonomics: ctor args
+embedded next to the weights (the ModelHelper pattern,
+model_utils/utils.py:26-83), last/best tracking, and interop with torch
+``.pth`` files through ``scale_imagenet_tpu.convert``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
+    """Save a dict of pytrees (params/state/opt_state/step...) + metadata."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(path, "tree"), _to_numpy_tree(payload),
+                   force=True)
+    except Exception:
+        # flat-npz fallback
+        flat, treedef = jax.tree.flatten(_to_numpy_tree(payload))
+        np.savez(os.path.join(path, "tree.npz"),
+                 **{str(i): a for i, a in enumerate(flat)})
+        with open(os.path.join(path, "treedef.json"), "w") as f:
+            json.dump(str(treedef), f)
+    if metadata is not None:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, default=str)
+
+
+def load_checkpoint(path: str, like: Any | None = None):
+    """Load a checkpoint saved by save_checkpoint.  ``like`` (an example
+    pytree) restores exact structure/dtypes when provided."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree_path = os.path.join(path, "tree")
+    if like is not None:
+        return ckptr.restore(tree_path, item=_to_numpy_tree(like))
+    return ckptr.restore(tree_path)
+
+
+class CheckpointManager:
+    """Timestamped run-dir checkpoints with last/best symlinked names
+    (the reference keeps ckpt/<log_name>/<date>/, main.py:84-92)."""
+
+    def __init__(self, root: str, keep: int = 3):
+        self.root = root
+        self.keep = keep
+        os.makedirs(root, exist_ok=True)
+        self._saved: list[str] = []
+        self.best_metric = -float("inf")
+
+    def save(self, step: int, payload: dict, metric: float | None = None,
+             metadata: dict | None = None):
+        path = os.path.join(self.root, f"step_{step:08d}")
+        save_checkpoint(path, payload, metadata)
+        self._saved.append(path)
+        self._update_link("last", path)
+        if metric is not None and metric > self.best_metric:
+            self.best_metric = metric
+            self._update_link("best", path)
+        while len(self._saved) > self.keep:
+            old = self._saved.pop(0)
+            if not self._is_linked(old):
+                import shutil
+                shutil.rmtree(old, ignore_errors=True)
+
+    def _update_link(self, name: str, target: str):
+        link = os.path.join(self.root, name)
+        if os.path.islink(link):
+            os.unlink(link)
+        os.symlink(os.path.basename(target), link)
+
+    def _is_linked(self, path: str) -> bool:
+        for name in ("last", "best"):
+            link = os.path.join(self.root, name)
+            if os.path.islink(link) and \
+                    os.readlink(link) == os.path.basename(path):
+                return True
+        return False
+
+    def latest(self) -> str | None:
+        link = os.path.join(self.root, "last")
+        return os.path.realpath(link) if os.path.exists(link) else None

@@ -1,0 +1,28 @@
+"""Losses and metrics used by the harness."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over the batch (torch nn.CrossEntropyLoss semantics)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def accuracy_topk(logits: jnp.ndarray, labels: jnp.ndarray,
+                  topk=(1,)) -> list[jnp.ndarray]:
+    """Top-k accuracy in percent (bar_show.py:110-124 semantics)."""
+    maxk = max(topk)
+    _, pred = jax.lax.top_k(logits, maxk)
+    correct = pred == labels[:, None]
+    return [100.0 * jnp.mean(jnp.any(correct[:, :k], axis=1).astype(
+        jnp.float32)) for k in topk]
+
+
+def sqr_hinge_loss(logits: jnp.ndarray, labels_pm1: jnp.ndarray):
+    """Squared hinge (model_utils/utils.py ``sqr_hinge_loss``)."""
+    return jnp.mean(jax.nn.relu(1.0 - logits * labels_pm1) ** 2)

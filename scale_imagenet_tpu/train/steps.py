@@ -1,0 +1,89 @@
+"""Sharded train/eval step factories.
+
+One jitted SPMD program per step: batch sharded over the 'data' mesh axis,
+params sharded per the TTnet channel-group rules over 'model'.  Gradient
+allreduce (the reference's DDP NCCL allreduce, main.py:181) is implicit:
+params are replicated along 'data', so XLA inserts the psum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..parallel.sharding import batch_sharding, replicate, \
+    ttnet_param_shardings
+from .losses import accuracy_topk, cross_entropy
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any     # BN running stats
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_eval_step(model, mesh: Mesh | None = None, donate: bool = False):
+    """Returns ``eval_step(params, state, images, labels) -> metrics dict``."""
+
+    def eval_step(params, state, images, labels):
+        logits, _ = model.apply(params, state, images, training=False)
+        loss = cross_entropy(logits, labels)
+        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        return {"loss": loss, "top1": top1, "top5": top5,
+                "n": jnp.asarray(images.shape[0], jnp.float32)}
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    return jax.jit(
+        eval_step,
+        in_shardings=(None, None, batch_sharding(mesh),
+                      batch_sharding(mesh, ndim=1)),
+        out_shardings=replicate(mesh),
+    )
+
+
+def make_train_step(model, tx, mesh: Mesh | None = None):
+    """Returns ``train_step(ts: TrainState, images, labels, key)``."""
+
+    def loss_fn(params, state, images, labels, key):
+        logits, new_state = model.apply(params, state, images,
+                                        training=True, key=key)
+        loss = cross_entropy(logits, labels)
+        return loss, (new_state, logits)
+
+    def train_step(ts: TrainState, images, labels, key):
+        (loss, (new_state, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params, ts.model_state, images,
+                                   labels, key)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
+        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        metrics = {"loss": loss, "top1": top1, "top5": top5}
+        return TrainState(new_params, new_state, new_opt, ts.step + 1), \
+            metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def constrain(tree):
+        """Pin every leaf to its TTnet sharding rule so GSPMD can't invent
+        invalid grouped-conv partitions for unannotated params."""
+        shardings = ttnet_param_shardings(tree, mesh)
+        return jax.tree.map(jax.lax.with_sharding_constraint, tree,
+                            shardings)
+
+    def jitted(ts, images, labels, key):
+        ts = TrainState(*constrain(tuple(ts)))
+        new_ts, metrics = train_step(ts, images, labels, key)
+        return TrainState(*constrain(tuple(new_ts))), metrics
+
+    return jax.jit(
+        jitted,
+        in_shardings=(None, batch_sharding(mesh),
+                      batch_sharding(mesh, ndim=1), None),
+        donate_argnums=(0,),
+    )
