@@ -44,6 +44,103 @@ def _ttnet_imagenet(name: str, variant: str):
     return build
 
 
+def _simple(name: str, cfg_cls, init_fn, apply_fn, returns_aux=False):
+    def build(**kwargs):
+        fields = {f.name for f in dataclasses.fields(cfg_cls)}
+        cfg = cfg_cls(**{k: v for k, v in kwargs.items() if k in fields})
+
+        def apply(params, state, x, training=False, key=None):
+            out = apply_fn(params, state, cfg, x, training=training, key=key)
+            if returns_aux:
+                logits, new_state, _aux = out
+                return logits, new_state
+            return out
+
+        return ModelDef(
+            name=name, config=cfg,
+            init=lambda key: init_fn(key, cfg),
+            apply=apply,
+        )
+    return build
+
+
+def _register_extended():
+    from .resnet import ResNetConfig, init_resnet, resnet_apply
+    from .tt_certif import TTCertifConfig, init_tt_certif, tt_certif_apply
+    from .tt_fhe import TTFHEConfig, init_tt_fhe, tt_fhe_apply
+    from .ttnet_cifar import (
+        Cifar10LowNoiseConfig,
+        MobilenetV1TTConfig,
+        MobilenetV2TTConfig,
+        ModelGeneralConfig,
+        cifar10lownoise_apply,
+        init_cifar10lownoise,
+        init_mobilenet_v1_tt,
+        init_mobilenet_v2_tt,
+        init_model_general,
+        mobilenet_v1_tt_apply,
+        mobilenet_v2_tt_apply,
+        model_general_apply,
+    )
+
+    reg = {}
+    for depth in (18, 34, 50, 101, 152):
+        def mk(depth=depth, cifar=False):
+            def build(wbit=4, abit=4, num_classes=1000, **_):
+                cfg = ResNetConfig(depth=depth, wbit=wbit, abit=abit,
+                                   num_classes=num_classes, cifar=cifar)
+                return ModelDef(
+                    name=f"resnet{depth}{'_cifar' if cifar else ''}",
+                    config=cfg,
+                    init=lambda key: init_resnet(key, cfg),
+                    apply=lambda p, s, x, training=False, key=None:
+                        resnet_apply(p, s, cfg, x, training, key),
+                )
+            return build
+        reg[f"resnet{depth}"] = mk(depth)
+        reg[f"resnet{depth}_cifar"] = mk(depth, True)  # noqa: B023
+
+    reg["tt_certif"] = _simple("tt_certif", TTCertifConfig, init_tt_certif,
+                               tt_certif_apply)
+    reg["TT_certif"] = reg["tt_certif"]
+    reg["tt_fhe_small"] = _simple("tt_fhe_small", TTFHEConfig, init_tt_fhe,
+                                  tt_fhe_apply)
+    reg["TT_FHE_SMALL"] = reg["tt_fhe_small"]
+    reg["mobilenet_v1_tt"] = _simple("mobilenet_v1_tt", MobilenetV1TTConfig,
+                                     init_mobilenet_v1_tt,
+                                     mobilenet_v1_tt_apply)
+    for variant, names in {
+        "mobilenet_v2": ("mobilenet_v2_tt", "mobilenet_v2_TT"),
+        "small": ("mobilenet_v2_tt_small",),
+        "small_n64": ("mobilenet_v2_tt_small_n64",),
+        "small_n64bis": ("mobilenet_v2_tt_small_n64bis",),
+        "32_64": ("mobilenet_v2_tt_32_64",),
+    }.items():
+        def mkv(variant=variant, name=names[0]):
+            def build(num_classes=10, **_):
+                cfg = MobilenetV2TTConfig(variant=variant,
+                                          num_classes=num_classes)
+                return ModelDef(
+                    name=name, config=cfg,
+                    init=lambda key: init_mobilenet_v2_tt(key, cfg),
+                    apply=lambda p, s, x, training=False, key=None:
+                        mobilenet_v2_tt_apply(p, s, cfg, x, training, key),
+                )
+            return build
+        for n in names:
+            reg[n] = mkv()
+
+    reg["model_general"] = _simple("model_general", ModelGeneralConfig,
+                                   init_model_general, model_general_apply,
+                                   returns_aux=True)
+    reg["cifar10lownoise"] = _simple("cifar10lownoise",
+                                     Cifar10LowNoiseConfig,
+                                     init_cifar10lownoise,
+                                     cifar10lownoise_apply,
+                                     returns_aux=True)
+    return reg
+
+
 MODEL_REGISTRY: dict[str, Callable[..., ModelDef]] = {
     # the shipped TTnet-Small (main.py:148)
     "ttnet_imagenet_small": _ttnet_imagenet("ttnet_imagenet_small", "small"),
@@ -57,6 +154,7 @@ MODEL_REGISTRY: dict[str, Callable[..., ModelDef]] = {
                                                  "xsmall"),
     "TT_vf_19lv3_imgnet": _ttnet_imagenet("TT_vf_19lv3_imgnet", "v2"),
 }
+MODEL_REGISTRY.update(_register_extended())
 
 
 def get_model(name: str, **kwargs) -> ModelDef:
