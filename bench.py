@@ -49,13 +49,18 @@ def main():
     params = jax.device_put(params)
     state = jax.device_put(state)
 
+    # NB: block_until_ready() can return early over the experimental axon
+    # tunnel; chain a data dependency across iterations and force a real
+    # device->host read to close the timing region.
     for _ in range(WARMUP):
-        forward(params, state, x).block_until_ready()
+        float(forward(params, state, x)[0, 0])
 
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for _ in range(ITERS):
         out = forward(params, state, x)
-    out.block_until_ready()
+        acc = acc + out[0, 0]
+    float(acc)
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt

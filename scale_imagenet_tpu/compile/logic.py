@@ -1,0 +1,121 @@
+"""Logic minimization + artifact export.
+
+``minimize_truth_table`` wraps sympy's Quine-McCluskey (SOPform/POSform),
+like the reference's ``get_expresion_methode1`` (TT_FHE_SMALL.py:414-431)
+but for any n up to the caller's limit rather than the hardcoded {4, 8, 9}
+(the reference leaves other n as a TODO ``pass``).
+
+``cnf_with_output_literal`` is the DNF & CNF -> CNF-with-output-literal-y
+rewrite of ``get_exp_with_y`` (TT_FHE_SMALL.py:251-275), reimplemented on
+structured clauses instead of string surgery:
+  DNF term  (l1 & ... & lk)  ->  clause (y | ~l1 | ... | ~lk)
+  CNF clause (l1 | ... | lk) ->  clause (l1 | ... | lk | ~y)
+so y <-> f(x) is encodable for SAT/FHE backends.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _symbols(n: int):
+    import sympy
+
+    return sympy.symbols(" ".join(f"x_{i}" for i in range(n)))
+
+
+def minimize_truth_table(minterms: list[int], n: int) -> dict:
+    """Quine-McCluskey minimization -> {"dnf": str, "cnf": str,
+    "cnf_y": str}."""
+    from sympy import POSform, SOPform
+
+    syms = _symbols(n)
+    if n == 1:
+        syms = (syms,)
+    dnf = SOPform(syms, minterms=list(minterms))
+    cnf = POSform(syms, minterms=list(minterms))
+    return {
+        "dnf": str(dnf),
+        "cnf": str(cnf),
+        "cnf_y": cnf_with_output_literal(str(dnf), str(cnf)),
+    }
+
+
+def cnf_with_output_literal(dnf_str: str, cnf_str: str) -> str:
+    """Tseitin-style y <-> f encoding from the minimized DNF and CNF."""
+    dnf_str = str(dnf_str).replace(" ", "")
+    cnf_str = str(cnf_str).replace(" ", "")
+    clauses = []
+    for term in dnf_str.split("|"):
+        lits = term.strip("()").split("&")
+        negated = []
+        for lit in lits:
+            negated.append(lit[1:] if lit.startswith("~") else "~" + lit)
+        clauses.append("(y | " + " | ".join(negated) + ")")
+    for clause in cnf_str.split("&"):
+        lits = clause.strip("()").split("|")
+        clauses.append("(" + " | ".join(lits) + " | ~y)")
+    return " & ".join(clauses)
+
+
+def count_gates(dnf_str: str) -> int:
+    """Gate count of a DNF expression: one AND per &, one OR per |, one NOT
+    per ~ (the accounting behind the released 157M figure)."""
+    s = str(dnf_str)
+    return s.count("&") + s.count("|") + s.count("~")
+
+
+def save_filter_artifacts(out_dir: str, block_id: int, sub_block_id: int,
+                          filter_id: int, table: np.ndarray, n: int,
+                          constant: float | None = None,
+                          expressions: dict | None = None):
+    """Write reference-compatible artifacts (TT_FHE_SMALL.py:345-411):
+    constant .npy tables, per-value truth-table CSVs, and expression .txt
+    files named like the reference's."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    if constant is not None:
+        np.save(os.path.join(
+            out_dir,
+            f"table_outputblock_{block_id}_filter_{filter_id}"
+            f"_value_{constant}_coefdefault_{constant}.npy"), table)
+        with open(os.path.join(
+                out_dir,
+                f"table_outputblock_{block_id}_filter_{filter_id}"
+                f"_coefdefault_{constant}.txt"), "w") as f:
+            f.write(str(constant))
+        return
+
+    uniq = np.unique(table)
+    for v in uniq[1:]:
+        rows = np.nonzero(table == v)[0]
+        # truth-table CSV: index, bit columns, filter-value column
+        csv_path = os.path.join(
+            out_dir,
+            f"Truth_Table_block{block_id}_filter_{filter_id}"
+            f"_coefdefault_{v}_sousblock_{sub_block_id}.csv")
+        with open(csv_path, "w") as f:
+            f.write("index," + ",".join(str(i) for i in range(n))
+                    + f",Filter_{filter_id}_Value_{int(v)}\n")
+            mask = table == v
+            for idx in range(len(table)):
+                bits = ((idx >> np.arange(n - 1, -1, -1)) & 1)
+                f.write(f"{idx}," + ",".join(map(str, bits))
+                        + f",{bool(mask[idx])}\n")
+        if expressions and float(v) in expressions:
+            e = expressions[float(v)]
+            base = f"_block{block_id}_filter_{filter_id}_coefdefault_{v}" \
+                   f"_sousblock_{sub_block_id}.txt"
+            with open(os.path.join(out_dir, "DNF_expression" + base),
+                      "w") as f:
+                f.write(e["dnf"])
+            with open(os.path.join(out_dir, "CNF_expression" + base),
+                      "w") as f:
+                f.write(e["cnf"])
+            with open(os.path.join(
+                    out_dir,
+                    f"table_outputblock_{block_id}_filter_{filter_id}"
+                    f"_coefdefault_{v}.txt"), "w") as f:
+                f.write(e["cnf_y"])

@@ -1,0 +1,148 @@
+"""Truth-table extraction: exhaustively evaluate a TT block on all 2^n
+binary input patterns.
+
+The reference enumerates patterns in Python (``format(x, 'b').zfill(n)``)
+and runs one giant forward (TT_FHE_SMALL.py:322-343).  Here the pattern
+tensor is built with vectorized bit arithmetic and the forward runs on
+device in chunks (65k x channels activations for n=16 are memory-shaped
+oddly; chunking keeps HBM bounded), with all output filters of all groups
+evaluated in a single batched pass by tiling each pattern across the input
+channels — filter f reads its own group's channels, so row r of filter f's
+table is the block's response to pattern r.
+
+Deliberate divergence from the reference: patterns are evaluated UNPADDED
+(one valid conv position), so each row is exactly the Boolean function of
+the k*k*(in/groupsici) window bits.  The reference pads first
+(TT_FHE_SMALL.py:340-341), which for k>1 yields a spatial map of shifted
+partial windows and a shape its own downstream per-filter code mishandles;
+for the k=1 (pointwise) blocks — the ones the released gate counts are
+built from — the two are identical.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.block_tt import BlockTTConfig, block_tt
+from .logic import minimize_truth_table, save_filter_artifacts
+
+
+def _as_pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def enumerate_patterns(cfg: BlockTTConfig) -> np.ndarray:
+    """All 2^n bit patterns as (2^n, kh, kw, in_planes) float32 NHWC,
+    tiled across channels like the reference (TT_FHE_SMALL.py:330-339).
+
+    Bit order matches the reference: ``format(x, 'b').zfill(n)`` MSB-first,
+    reshaped channel-major (chanel_interest, kh, kw).
+    """
+    kh, kw = _as_pair(cfg.k)
+    ci = cfg.in_planes // cfg.groupsici  # channels seen per filter
+    n = kh * kw * ci
+    if n > 24:
+        raise ValueError(f"n={n} bits: 2^n enumeration infeasible")
+    codes = np.arange(2**n, dtype=np.int64)
+    # bit j (MSB-first) of each code
+    shifts = np.arange(n - 1, -1, -1, dtype=np.int64)
+    bits = ((codes[:, None] >> shifts[None, :]) & 1).astype(np.float32)
+    pats = bits.reshape(2**n, ci, kh, kw)          # channel-major like torch
+    pats = np.transpose(pats, (0, 2, 3, 1))         # -> NHWC
+    reps = cfg.in_planes // ci
+    return np.tile(pats, (1, 1, 1, reps))
+
+
+def block_truth_table(params, state, cfg: BlockTTConfig,
+                      chunk: int = 8192) -> np.ndarray:
+    """(2^n, out_planes) block response table, computed on device in
+    chunks.  The block is evaluated in eval mode with no padding (valid,
+    single output position) and no input-mask noise."""
+    pats = enumerate_patterns(cfg)
+
+    @jax.jit
+    def run(x):
+        y, _ = block_tt(params, state, cfg, x, training=False,
+                        pre_padded=True)
+        return y.reshape(x.shape[0], -1, y.shape[-1])[:, 0, :]
+
+    outs = []
+    for i in range(0, pats.shape[0], chunk):
+        outs.append(np.asarray(run(jnp.asarray(pats[i:i + chunk]))))
+    return np.concatenate(outs, axis=0)
+
+
+def extract_block_tables(params, state, cfg: BlockTTConfig,
+                         out_dir: str | None = None,
+                         block_id: int = 0, sub_block_id: int = 0,
+                         minimize: bool = True,
+                         max_minimize_bits: int = 12) -> dict:
+    """Per-filter artifacts for one block: mirrors
+    ``get_TT_block_all_filter`` + ``get_TT_block_1filter``
+    (TT_FHE_SMALL.py:322-411).
+
+    Returns {filter_index: {"table": ..., "constant": v} or
+    {"table", "dnf", "cnf", "cnf_y", "gates"}}.
+    """
+    kh, kw = _as_pair(cfg.k)
+    n = kh * kw * (cfg.in_planes // cfg.groupsici)
+    table = block_truth_table(params, state, cfg)
+    results = {}
+    for f in range(table.shape[1]):
+        col = table[:, f]
+        uniq = np.unique(col)
+        if len(uniq) == 1:
+            results[f] = {"table": col, "constant": float(uniq[0])}
+            if out_dir:
+                save_filter_artifacts(out_dir, block_id, sub_block_id, f,
+                                      col, n, constant=float(uniq[0]))
+            continue
+        entry = {"table": col}
+        if minimize and n <= max_minimize_bits:
+            # one expression per non-default value, like the reference's
+            # iterate_over_filter (TT_FHE_SMALL.py:386-394)
+            exprs = {}
+            for v in uniq[1:]:
+                rows = np.nonzero(col == v)[0].tolist()
+                exprs[float(v)] = minimize_truth_table(rows, n)
+            entry["expressions"] = exprs
+        results[f] = entry
+        if out_dir:
+            save_filter_artifacts(out_dir, block_id, sub_block_id, f, col,
+                                  n, expressions=entry.get("expressions"))
+    return results
+
+
+def compile_model_truth_tables(block_items, out_dir: str,
+                               minimize: bool = True,
+                               max_minimize_bits: int = 12) -> dict:
+    """Compile every (params, state, cfg) block triple; returns summary with
+    total gate count (the reference's headline metric).
+
+    ``block_items``: iterable of (name, params, state, BlockTTConfig).
+    """
+    from .logic import count_gates
+
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {"blocks": {}, "total_gates": 0}
+    for bi, (name, params, state, cfg) in enumerate(block_items):
+        res = extract_block_tables(params, state, cfg,
+                                   out_dir=os.path.join(out_dir, name),
+                                   block_id=bi, minimize=minimize,
+                                   max_minimize_bits=max_minimize_bits)
+        gates = 0
+        for f, entry in res.items():
+            for expr in (entry.get("expressions") or {}).values():
+                gates += count_gates(expr["dnf"])
+        summary["blocks"][name] = {
+            "filters": len(res),
+            "n_bits": cfg.n_bits,
+            "gates": gates,
+        }
+        summary["total_gates"] += gates
+    return summary

@@ -1,0 +1,89 @@
+"""BN-fold + fused-quant equivalence tests (the reference's bn_fuse.py
+test_net / test_fused_quant_model.py workflow, systematized)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scale_imagenet_tpu.convert.bn_fold import (
+    conv_bn_pairs_ttnet_imagenet,
+    fold_bn_into_conv,
+    fold_model_bns,
+)
+from scale_imagenet_tpu.convert.fuse_quant import (
+    equivalence_report,
+    fuse_resnet,
+    quantize_resnet_weights,
+)
+from scale_imagenet_tpu.layers.conv import conv2d, init_conv2d
+from scale_imagenet_tpu.layers.norm import batch_norm, init_batch_norm
+from scale_imagenet_tpu.models import get_model
+
+
+def test_fold_single_conv_bn():
+    key = jax.random.PRNGKey(0)
+    conv_p = init_conv2d(key, 8, 16, 3, bias=False)
+    bn_p, bn_s = init_batch_norm(16)
+    bn_p = {"weight": jax.random.uniform(key, (16,), minval=0.5, maxval=2),
+            "bias": jax.random.normal(key, (16,)) * 0.1}
+    bn_s = {"running_mean": jax.random.normal(key, (16,)) * 0.2,
+            "running_var": jax.random.uniform(key, (16,), minval=0.5,
+                                              maxval=2)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 9, 8))
+
+    y_ref, _ = batch_norm(bn_p, bn_s, conv2d(conv_p, x, padding=1))
+    new_conv, np_, ns_ = fold_bn_into_conv(conv_p, bn_p, bn_s)
+    y_fold = conv2d(new_conv, x, padding=1)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+    # neutralized BN is the exact identity
+    y_id, _ = batch_norm(np_, ns_, y_fold)
+    np.testing.assert_allclose(np.asarray(y_id), np.asarray(y_fold),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fold_ttnet_model_end_to_end():
+    m = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4, layers=0)
+    params, state = m.init(jax.random.PRNGKey(0))
+    # make running stats non-trivial
+    state = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, state)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+
+    logits, _ = m.apply(params, state, x)
+    fp, fs = fold_model_bns(params, state,
+                            conv_bn_pairs_ttnet_imagenet(m.config))
+    logits_f, _ = m.apply(fp, fs, x)
+
+    rep = equivalence_report(logits, logits_f)
+    # Heaviside boundaries can flip on 1e-6 perturbations; argmax must hold
+    # and logits stay close (the bn_fuse.py:88-91 criteria)
+    assert rep["argmax_match"], rep
+    assert rep["max_abs_diff"] < 0.05, rep
+
+
+def test_fused_quant_resnet():
+    m = get_model("resnet18_cifar", wbit=4, abit=4)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.03 if a.ndim == 1 else a, state)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    # step 1: offline weight quantization; inference then runs wbit=32
+    qparams = quantize_resnet_weights(params, 4)
+    cfg32 = dataclasses.replace(m.config, wbit=32)
+    from scale_imagenet_tpu.models.resnet import resnet_apply
+
+    logits_q, _ = resnet_apply(qparams, state, cfg32, x)
+    # equivalent to on-the-fly wbit=4 quantization
+    logits_ref, _ = m.apply(params, state, x)
+    rep = equivalence_report(logits_ref, logits_q)
+    assert rep["max_abs_diff"] < 1e-4, rep
+
+    # step 2: BN folding on the quantized tree
+    fparams, fstate = fuse_resnet(qparams, state, m.config)
+    logits_f, _ = resnet_apply(fparams, fstate, cfg32, x)
+    rep = equivalence_report(logits_q, logits_f)
+    assert rep["argmax_match"], rep
+    assert rep["max_abs_diff"] < 1e-3, rep
