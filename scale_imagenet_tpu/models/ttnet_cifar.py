@@ -565,3 +565,82 @@ def cifar10lownoise_apply(params, state, cfg: Cifar10LowNoiseConfig, x,
         params["head_bn"], state["head_bn"], logits, training=training,
         eval_with_bn=eval_with_bn, use_scalar_scale=True)
     return logits, new_state, {"head_bn_scale_bias": scale_bias}
+
+
+# ---------------------------------------------------------------------------
+# Certified-robustness forwards for cifar10lownoise / model_general
+# (SeqBinModelHelper.compute_act_stabilizing_loss_abstract /
+#  forward_with_multi_sample, netbin.py:703-738)
+
+def cifar10lownoise_interval_loss(params, state, cfg, x, eps: float,
+                                  inputs_min: float = 0.0,
+                                  inputs_max: float = 1.0):
+    """Interval-arithmetic activation-stability loss: propagate the eps-ball
+    through the features up to (and including) the last Heaviside, like the
+    reference's AbstractTensor forward over features[:-2]."""
+    from ..ops.quantize import input_quantize
+    from ..ops.weights import binarize_weights
+    from ..robust.interval import (
+        interval_batch_norm, interval_conv2d, interval_from_eps_ball,
+        interval_heaviside, interval_mono)
+    from ..layers.norm import bn_scale_bias
+
+    iv = interval_from_eps_ball(x, eps, inputs_min, inputs_max)
+    iv = interval_mono(iv, lambda v: input_quantize(v, cfg.quant_step))
+    iv = interval_batch_norm(iv, *bn_scale_bias(params["bn0"],
+                                                state["bn0"]))
+    iv = interval_mono(iv, lambda v: activation_quantize(v, 2))
+    w1 = binarize_weights("quant3", params["conv1"]["weight"],
+                          params["conv1"].get("weight_mask"))
+    iv = interval_conv2d(iv, w1, stride=2, padding=0)
+    iv = interval_heaviside(iv)
+    iv = interval_conv2d(iv, params["conv2"]["weight"], stride=2,
+                         padding=0, groups=48)
+    if "bias" in params["conv2"]:
+        iv.vmin = iv.vmin + params["conv2"]["bias"]
+        iv.vmax = iv.vmax + params["conv2"]["bias"]
+    iv = interval_batch_norm(iv, *bn_scale_bias(params["bn2"],
+                                                state["bn2"]))
+    iv = interval_mono(iv, jax.nn.relu)
+    iv = interval_conv2d(iv, params["conv3"]["weight"], stride=1,
+                         padding=0, groups=48)
+    if "bias" in params["conv3"]:
+        iv.vmin = iv.vmin + params["conv3"]["bias"]
+        iv.vmax = iv.vmax + params["conv3"]["bias"]
+    iv = interval_batch_norm(iv, *bn_scale_bias(params["bn3"],
+                                                state["bn3"]))
+    iv = interval_heaviside(iv)
+    return iv.loss
+
+
+def cifar10lownoise_multi_sample(params, state, cfg, x, x_adv, eps: float,
+                                 key, training=True):
+    """forward_with_multi_sample (netbin.py:710-724): returns
+    (logits_of_first_sample, stability_loss)."""
+    from ..robust.multisample import (
+        multi_sample_heaviside, multi_sample_pack,
+        multi_sample_unpack_natural)
+    from ..ops.quantize import input_quantize
+
+    pack_key, _ = jax.random.split(key)
+    k, data = multi_sample_pack(x, x_adv, eps, pack_key)
+    loss = jnp.zeros(())
+
+    h = input_quantize(data, cfg.quant_step)
+    h, _ = batch_norm(params["bn0"], state["bn0"], h, training=False)
+    h = activation_quantize(h, 2)
+    h = bin_conv2d(params["conv1"], h, stride=2, padding=0,
+                   binarizer="quant3", rounding=False)
+    h, loss = multi_sample_heaviside(h, k, loss)
+    h = conv2d(params["conv2"], h, stride=2, padding=0, groups=48)
+    h, _ = batch_norm(params["bn2"], state["bn2"], h, training=False)
+    h = jax.nn.relu(h)
+    h = conv2d(params["conv3"], h, stride=1, padding=0, groups=48)
+    h, _ = batch_norm(params["bn3"], state["bn3"], h, training=False)
+    h, loss = multi_sample_heaviside(h, k, loss)
+    h = flatten(h)
+    logits = bin_linear(params["fc"], h, binarizer="ternary_mask",
+                        positive=True)
+    logits, _, _ = stats_bn(params["head_bn"], state["head_bn"], logits,
+                            training=False, use_scalar_scale=True)
+    return multi_sample_unpack_natural(logits, k), loss
