@@ -26,9 +26,30 @@ def _symbols(n: int):
     return sympy.symbols(" ".join(f"x_{i}" for i in range(n)))
 
 
-def minimize_truth_table(minterms: list[int], n: int) -> dict:
+def minimize_truth_table(minterms: list[int], n: int,
+                         engine: str = "native") -> dict:
     """Quine-McCluskey minimization -> {"dnf": str, "cnf": str,
-    "cnf_y": str}."""
+    "cnf_y": str}.
+
+    ``engine="native"`` uses the C++ ttlogic minimizer (bitset greedy
+    cover; handles n up to ~16 for structured functions) and derives the
+    CNF by minimizing the complement; ``engine="sympy"`` matches the
+    reference's SOPform/POSform exactly (n <= ~12 practical).
+    """
+    minterms = sorted(set(int(m) for m in minterms))
+    if engine == "native":
+        from ..native import minimize_terms, terms_to_dnf
+
+        dnf_terms = minimize_terms(minterms, n)
+        dnf = terms_to_dnf(dnf_terms, n)
+        comp = sorted(set(range(2**n)) - set(minterms))
+        if comp:
+            cnf = _terms_to_cnf(minimize_terms(comp, n), n)
+        else:
+            cnf = "True"
+        return {"dnf": dnf, "cnf": cnf,
+                "cnf_y": cnf_with_output_literal(dnf, cnf)}
+
     from sympy import POSform, SOPform
 
     syms = _symbols(n)
@@ -41,6 +62,24 @@ def minimize_truth_table(minterms: list[int], n: int) -> dict:
         "cnf": str(cnf),
         "cnf_y": cnf_with_output_literal(str(dnf), str(cnf)),
     }
+
+
+def _terms_to_cnf(complement_terms, n: int) -> str:
+    """CNF of f from the minimized DNF of its complement: each complement
+    cube (v, m) becomes one clause of negated literals (De Morgan)."""
+    if not complement_terms:
+        return "True"
+    clauses = []
+    for value, mask in complement_terms:
+        lits = []
+        for i in range(n):
+            bit = n - 1 - i
+            if (mask >> bit) & 1:
+                continue
+            lits.append(("~" if (value >> bit) & 1 else "") + f"x_{i}")
+        clauses.append("(" + " | ".join(lits) + ")" if len(lits) > 1
+                       else (lits[0] if lits else "False"))
+    return " & ".join(clauses)
 
 
 def cnf_with_output_literal(dnf_str: str, cnf_str: str) -> str:

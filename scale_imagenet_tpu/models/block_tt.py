@@ -87,6 +87,18 @@ def block_tt(
     """
     if input_mask is not None:
         x = x * input_mask
+
+    # TPU eval fast path: pointwise blocks fuse into a single Pallas kernel
+    # (bit-exact; see pallas/fused_block.py)
+    from ..config import performance
+    if (not training and performance.fused_pointwise_blocks
+            and cfg.k == 1 and cfg.stride == 1 and cfg.padding == 0
+            and cfg.quant == "float" and cfg.T == 0.0
+            and jax.default_backend() == "tpu"):
+        from ..pallas.fused_block import fused_block_tt_pointwise
+
+        return fused_block_tt_pointwise(params, state, cfg, x), state
+
     if cfg.padding != 0 and not pre_padded:
         x = constant_pad2d(x, cfg.padding)
     if cfg.quant == "bin":

@@ -130,6 +130,24 @@ def _register_extended():
         for n in names:
             reg[n] = mkv()
 
+    from .ttnet_imagenet_v1 import V1_STAGES, TTnetV1Config, init_ttnet_v1, \
+        ttnet_v1_apply
+
+    for v1name in V1_STAGES:
+        def mk1(v1name=v1name):
+            def build(nfilter=8, tfilter=8, num_classes=1000, a_bit=2, **_):
+                cfg = TTnetV1Config(name=v1name, nfilter=nfilter,
+                                    tfilter=tfilter,
+                                    num_classes=num_classes, a_bit=a_bit)
+                return ModelDef(
+                    name=v1name, config=cfg,
+                    init=lambda key: init_ttnet_v1(key, cfg),
+                    apply=lambda p, s, x, training=False, key=None:
+                        ttnet_v1_apply(p, s, cfg, x, training, key),
+                )
+            return build
+        reg[v1name] = mk1()
+
     reg["model_general"] = _simple("model_general", ModelGeneralConfig,
                                    init_model_general, model_general_apply,
                                    returns_aux=True)

@@ -65,6 +65,9 @@ class TTnetImageNetConfig:
     num_classes: int = 1000
     image_size: int = 224
     classifier_inter: int = 1000
+    # "s2d": avgpool+conv7 folded into one space-to-depth conv (TPU-fast,
+    # exact up to float summation order); "reference": literal op order
+    stem_impl: str = "s2d"
 
     @property
     def p(self) -> int:
@@ -126,8 +129,13 @@ def ttnet_imagenet_features(params, state, cfg: TTnetImageNetConfig, x,
                             training=False, key=None):
     """Everything before the classifier; ``x`` is NHWC float32."""
     new_state = {}
-    x = avg_pool(x, 2)
-    x = conv2d(params["stem_conv"], x, stride=2, padding=3)
+    if cfg.stem_impl == "s2d":
+        from ..pallas.stem import space_to_depth_stem
+
+        x = space_to_depth_stem(x, params["stem_conv"]["weight"])
+    else:
+        x = avg_pool(x, 2)
+        x = conv2d(params["stem_conv"], x, stride=2, padding=3)
     x, new_state["stem_bn"] = batch_norm(params["stem_bn"], state["stem_bn"],
                                          x, training)
     x = binarize01_act(x)

@@ -1,0 +1,295 @@
+"""The v1 ImageNet TTnet family (models/TT_general_imagenet.py).
+
+These predate the v2 blocks: heads are ``Block_resnet_BN`` cells — conv(k,
+t=8, groups) -> BN -> GELU -> 1x1 grouped conv -> BN -> 2-bit activation
+(or Heaviside when Abit_inter=1); the fused block is k=2 pad=1 with
+``last=True`` -> GELU (continuous output), so stages chain with
+``in_planes = out_planes`` (no doubling).  Head 4 is ZeroPad2d(1) +
+AvgPool2d(2) at stride 2, identity at stride 1; shape fixups are
+bottom-right *crops*.
+
+Fidelity notes (all verifiable against /root/reference):
+* ``Block_resnet_multihead_general_BN_vf_imgnet`` (TT_vf_19lv2_imgnet,
+  the "BEST" v1 model per main.py:137) is reproduced exactly, including
+  its crop table (TT_general_imagenet.py:867-872).
+* Several sibling classes are broken as shipped (e.g.
+  ``..._BN_vf_small_v2_imgnet`` concatenates 3 heads at stride 2 into a
+  4-head fused conv, TT_general_imagenet.py:777-786) — for those, heads
+  are reconciled generically (crop/pad bottom-right to the k-largest
+  head's size) so the configs are runnable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..layers.conv import conv2d, init_conv2d
+from ..layers.linear import init_linear, linear
+from ..layers.norm import batch_norm, init_batch_norm
+from ..layers.pool import avg_pool, flatten, zero_pad2d
+from ..ops.binarize import binarize01_act
+from ..ops.quantize import activation_quantize
+from .multihead import channel_interleave
+from .ttnet_cifar import (
+    BlockResnetConfig,
+    block_resnet_out_size,
+    init_block_resnet,
+)
+
+
+def block_resnet_bn(params, state, cfg: BlockResnetConfig, x,
+                    training=False):
+    """Block_resnet_BN (TT_general_imagenet.py:45-71): act *after* bn2
+    (unlike TT.py's Block_resnet), GELU instead on the last block."""
+    out = conv2d(params["conv1"], x, stride=cfg.stride,
+                 padding=cfg.padding, groups=cfg.groupsici)
+    out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
+    out = jax.nn.gelu(out, approximate=False)
+    out = conv2d(params["conv2"], out, stride=1, padding=0,
+                 groups=cfg.groupsici)
+    out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
+    if cfg.last:
+        out = jax.nn.gelu(out, approximate=False)
+    elif cfg.a_bit > 1:
+        out = activation_quantize(out, cfg.a_bit)
+    else:
+        out = binarize01_act(out)
+    return out, {"bn1": bn1_s, "bn2": bn2_s}
+
+
+# variant -> head kernel/pad specs, fused-group divisor, crop table
+V1_VARIANTS = {
+    "vf_imgnet": dict(ks=(7, 4, 2), pads=(3, 2, 1), groupvf=8,
+                      groups=(1, 2, 4)),
+    "vf_small_imgnet": dict(ks=(4, 3, 2), pads=(2, 1, 1), groupvf=4,
+                            groups=(1, 2, 4)),
+    "vf_smallv2_imgnet": dict(ks=(4, 3, 2), pads=(2, 1, 1), groupvf=4,
+                              groups=(1, 2, 4)),
+    "vf_64": dict(ks=(8, 4, 2), pads=(4, 2, 1), groupvf=12,
+                  groups=(1, 2, 4)),
+    "vf_17l": dict(ks=(7, 4, 2), pads=(3, 2, 1), groupvf=8,
+                   groups=(1, 2, 4)),
+}
+
+
+def _crops_vf_imgnet(xw: int) -> tuple:
+    """TT_general_imagenet.py:867-872: crop heads 2 and 3 at 56/30/16."""
+    if xw in (56, 30, 16):
+        return (2, 3)
+    return ()
+
+
+@dataclasses.dataclass(frozen=True)
+class V1MultiHeadConfig:
+    in_planes: int
+    out_planes: int
+    stride: int = 1
+    a_bit: int = 2
+    variant: str = "vf_imgnet"
+
+    @property
+    def spec(self):
+        return V1_VARIANTS[self.variant]
+
+    @property
+    def cpt(self):
+        return 4
+
+    def head_cfgs(self):
+        s = self.spec
+        return {
+            i + 1: BlockResnetConfig(
+                self.in_planes, self.in_planes, k=s["ks"][i], a=8,
+                padding=s["pads"][i], stride=self.stride,
+                groupsici=self.in_planes // s["groups"][i],
+                a_bit=self.a_bit)
+            for i in range(3)
+        }
+
+    def convf_cfg(self):
+        cin = self.cpt * self.in_planes
+        # int(cin / groupvf) in the reference can produce a group count
+        # that divides neither cin nor out (e.g. vf_64's groupvf=12 ->
+        # groups 5 on 64 channels, a construction-time crash there too);
+        # step down to the nearest valid divisor.
+        g = max(cin // self.spec["groupvf"], 1)
+        while g > 1 and (cin % g or self.out_planes % g):
+            g -= 1
+        return BlockResnetConfig(cin, self.out_planes, k=2, a=8, padding=1,
+                                 stride=1, groupsici=g,
+                                 last=True, a_bit=self.a_bit)
+
+
+def init_v1_multihead(key, cfg: V1MultiHeadConfig, dtype=jnp.float32):
+    heads = cfg.head_cfgs()
+    keys = jax.random.split(key, 4)
+    params, state = {}, {}
+    for (i, hcfg), k in zip(sorted(heads.items()), keys[:-1]):
+        params[f"conv{i}"], state[f"conv{i}"] = init_block_resnet(k, hcfg,
+                                                                  dtype)
+    params["convf"], state["convf"] = init_block_resnet(
+        keys[-1], cfg.convf_cfg(), dtype)
+    return params, state
+
+
+def _crop_to(arr, th, tw):
+    dh, dw = arr.shape[1] - th, arr.shape[2] - tw
+    if dh > 0 or dw > 0:
+        arr = arr[:, :arr.shape[1] - max(dh, 0), :arr.shape[2] - max(dw, 0),
+                  :]
+    if dh < 0 or dw < 0:
+        arr = zero_pad2d(arr, (0, max(-dw, 0), 0, max(-dh, 0)))
+    return arr
+
+
+def v1_multihead(params, state, cfg: V1MultiHeadConfig, x, training=False):
+    heads = cfg.head_cfgs()
+    new_state = {}
+    outs = {}
+    for i in (1, 2, 3):
+        outs[i], new_state[f"conv{i}"] = block_resnet_bn(
+            params[f"conv{i}"], state[f"conv{i}"], heads[i], x, training)
+    if cfg.stride == 2:
+        outs[4] = avg_pool(zero_pad2d(x, (1, 1, 1, 1)), 2)
+    else:
+        outs[4] = x
+
+    if cfg.variant == "vf_imgnet":
+        for i in _crops_vf_imgnet(x.shape[2]):
+            outs[i] = outs[i][:, :-1, :-1, :]
+    # generic reconciliation (exact where the variant tables were exact,
+    # and the only runnable semantics for the reference's broken siblings)
+    th = min(o.shape[1] for o in outs.values())
+    tw = min(o.shape[2] for o in outs.values())
+    outs = {i: _crop_to(o, th, tw) for i, o in outs.items()}
+
+    cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    cat = channel_interleave(cat, cfg.cpt)
+    y, new_state["convf"] = block_resnet_bn(
+        params["convf"], state["convf"], cfg.convf_cfg(), cat, training)
+    return y, new_state
+
+
+def v1_multihead_out_size(cfg: V1MultiHeadConfig, h: int, w: int):
+    heads = cfg.head_cfgs()
+    sizes = [block_resnet_out_size(heads[i], h, w) for i in (1, 2, 3)]
+    if cfg.stride == 2:
+        sizes.append(((h + 2) // 2, (w + 2) // 2))
+    else:
+        sizes.append((h, w))
+    if cfg.variant == "vf_imgnet":
+        for i in _crops_vf_imgnet(w):
+            sizes[i - 1] = (sizes[i - 1][0] - 1, sizes[i - 1][1] - 1)
+    th = min(s[0] for s in sizes)
+    tw = min(s[1] for s in sizes)
+    return block_resnet_out_size(cfg.convf_cfg(), th, tw)
+
+
+# stage tables (TT_general_imagenet.py per-model ``cfg = [...]``)
+V1_STAGES = {
+    "TT_vf_19lv2_imgnet": ("vf_imgnet",
+                           lambda p: [p, (2 * p, 2), 2 * p, (4 * p, 2),
+                                      (8 * p, 2)]),
+    "TT_general_vf": ("vf_imgnet",
+                      lambda p: [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)]),
+    "TT_vf_smallv2_imgnet": ("vf_smallv2_imgnet",
+                             lambda p: [p, (2 * p, 2), (4 * p, 2),
+                                        (8 * p, 2)]),
+    "TT_vf_small_imgnet": ("vf_small_imgnet",
+                           lambda p: [p, (2 * p, 2), 2 * p, (4 * p, 2),
+                                      4 * p, (8 * p, 2)]),
+    "TT_vf_64bit": ("vf_64",
+                    lambda p: [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)]),
+    "TT_vf_26": ("vf_imgnet",
+                 lambda p: [p, (2 * p, 2), 2 * p, (4 * p, 2), 4 * p,
+                            (8 * p, 2)]),
+    "TT_vf_30": ("vf_imgnet",
+                 lambda p: [p, (2 * p, 2), 2 * p, (4 * p, 2), 4 * p,
+                            (8 * p, 2), 8 * p]),
+    "TT_vf_17l": ("vf_17l",
+                  lambda p: [(2 * p, 2), (4 * p, 2), (8 * p, 2)]),
+    "TT_vf_unique_7_x": ("vf_imgnet",
+                         lambda p: [p, (2 * p, 2), (4 * p, 2),
+                                    (8 * p, 2)]),
+    "TT_vf_18l_pad": ("vf_imgnet",
+                      lambda p: [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)]),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TTnetV1Config:
+    name: str = "TT_vf_19lv2_imgnet"
+    nfilter: int = 8
+    tfilter: int = 8
+    num_classes: int = 1000
+    image_size: int = 224
+    a_bit: int = 2
+
+    @property
+    def p(self):
+        return self.nfilter * self.tfilter
+
+    def block_configs(self):
+        variant, stages_fn = V1_STAGES[self.name]
+        in_planes, cfgs = self.p, []
+        for s in stages_fn(self.p):
+            out_planes = s if isinstance(s, int) else s[0]
+            stride = 1 if isinstance(s, int) else s[1]
+            cfgs.append(V1MultiHeadConfig(in_planes, out_planes,
+                                          stride=stride, a_bit=self.a_bit,
+                                          variant=variant))
+            in_planes = out_planes
+        return cfgs
+
+    def feature_shape(self):
+        s = self.image_size // 2
+        s = (s + 6 - 7) // 2 + 1
+        h = w = s
+        c = self.p
+        for cfg in self.block_configs():
+            h, w = v1_multihead_out_size(cfg, h, w)
+            c = cfg.out_planes
+        return h // 2, w // 2, c
+
+    @property
+    def fcsize(self):
+        h, w, c = self.feature_shape()
+        return h * w * c
+
+
+def init_ttnet_v1(key, cfg: TTnetV1Config, dtype=jnp.float32):
+    blocks = cfg.block_configs()
+    keys = jax.random.split(key, len(blocks) + 2)
+    bn_p, bn_s = init_batch_norm(cfg.p, dtype)
+    params: dict[str, Any] = {
+        "stem_conv": init_conv2d(keys[0], 3, cfg.p, 7, bias=False,
+                                 dtype=dtype),
+        "stem_bn": bn_p,
+    }
+    state: dict[str, Any] = {"stem_bn": bn_s}
+    for i, (bcfg, k) in enumerate(zip(blocks, keys[1:-1])):
+        params[f"block{i}"], state[f"block{i}"] = init_v1_multihead(
+            k, bcfg, dtype)
+    params["fc"] = init_linear(keys[-1], cfg.fcsize, cfg.num_classes,
+                               bias=True, dtype=dtype)
+    return params, state
+
+
+def ttnet_v1_apply(params, state, cfg: TTnetV1Config, x, training=False,
+                   key=None):
+    new_state = {}
+    x = avg_pool(x, 2)
+    x = conv2d(params["stem_conv"], x, stride=2, padding=3)
+    x, new_state["stem_bn"] = batch_norm(params["stem_bn"],
+                                         state["stem_bn"], x, training)
+    x = binarize01_act(x)
+    for i, bcfg in enumerate(cfg.block_configs()):
+        x, new_state[f"block{i}"] = v1_multihead(
+            params[f"block{i}"], state[f"block{i}"], bcfg, x, training)
+    x = avg_pool(x, 2)
+    x = flatten(x)
+    return linear(params["fc"], x), new_state

@@ -1,0 +1,157 @@
+"""Fused pointwise TT-block Pallas kernel.
+
+A pointwise Block_TT (k=1: the head-3 and fused heads of every multi-head
+block) is, per pixel and per channel group g:
+
+    y_g = act( A2( W2_g @ gelu( A1( W1_g @ x_g ) ) ) )
+
+with W1_g (ci x m), W2_g (m x co), A* the folded eval-mode BN affines, act
+in {heaviside, relu, identity}.  XLA cannot fuse the two convolutions, so
+the t=8-amplified intermediate round-trips HBM — gigabytes per block at
+batch 256, which dominates the measured block time.  This kernel keeps the
+whole chain in VMEM: one x tile in, one binary tile out.
+
+Grid: (groups, pixel tiles) — the group is a grid dimension because Mosaic
+cannot split the lane axis in-kernel (reshape (T, G*ci) -> (T, G, ci) is
+an unsupported shape cast); per instance the math is two small dense
+matmuls on (tile, ci) blocks.  Inference path only (training BN needs
+batch stats — the XLA path remains canonical there).
+
+GELU uses an exp-based erf approximation (|err| <= 1.5e-7, A&S 7.1.26):
+Mosaic has no erf/erfc lowering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t) + a3) * t + a2) * t + a1
+    y = 1.0 - poly * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+            out_ref, *, act: str):
+    h = jnp.dot(x_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
+    h = h * s1_ref[0] + b1_ref[0]
+    h = _gelu_exact(h)
+    y = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
+    y = y * s2_ref[0] + b2_ref[0]
+    if act == "heaviside":
+        y = (y >= 0).astype(y.dtype)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y
+
+
+def fused_pointwise_block(x, w1, s1, b1, w2, s2, b2, act: str = "heaviside",
+                          tile: int | None = None,
+                          interpret: bool = False) -> jnp.ndarray:
+    """x: (N, G*ci); w1: (G, ci, m); s1/b1: (G, m); w2: (G, m, co);
+    s2/b2: (G, co).  Returns (N, G*co)."""
+    n, cin = x.shape
+    g, ci, m = w1.shape
+    co = w2.shape[2]
+    assert cin == g * ci, (cin, g, ci)
+
+    if tile is None:
+        # VMEM budget ~4 MB for the amplified intermediate (f32)
+        budget = 4 * 1024 * 1024 // 4
+        tile = max(min(2048, budget // m), 8)
+        tile = max((tile // 8) * 8, 8)
+
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    # group-major layout: Mosaic can neither split the lane axis in-kernel
+    # nor block it below 128, so the (cheap) channel-split transpose
+    # happens in XLA and the kernel sees (G, N, ci) with lane dim == ci
+    xg = jnp.transpose(x.reshape(n_pad, g, ci), (1, 0, 2))
+    # affines as (G, 1, w): 2-D (G, w) blocks of sublane height 1 are not
+    # blockable on TPU (sublane must be 8-divisible or the full dim)
+    s1r, b1r = s1.reshape(g, 1, m), b1.reshape(g, 1, m)
+    s2r, b2r = s2.reshape(g, 1, co), b2.reshape(g, 1, co)
+
+    kernel = functools.partial(_kernel, act=act)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, ci), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci, m), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, co), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, co), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, co), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, co), lambda gi, i: (gi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, n_pad, co), x.dtype),
+        interpret=interpret,
+    )(xg, w1, s1r, b1r, w2, s2r, b2r)
+    out = jnp.transpose(out, (1, 0, 2)).reshape(n_pad, g * co)
+    return out[:n]
+
+
+def block_tt_pointwise_params(params, state, cfg, eps: float = 1e-5):
+    """Repack a pointwise Block_TT's params into the kernel layout, folding
+    the eval-mode BNs into affines.  Returns (w1, s1, b1, w2, s2, b2)."""
+    g = cfg.groupsici
+    cin = cfg.in_planes
+    ci = cin // g
+    m = cfg.t * cin // g
+    co = cfg.out_planes // g
+
+    # conv weights HWIO (1, 1, ci, G*m) -> (G, ci, m): output channels are
+    # group-major in grouped convs
+    w1 = params["conv1"]["weight"].reshape(ci, g, m)
+    w1 = jnp.transpose(w1, (1, 0, 2))
+    w2 = params["conv2"]["weight"].reshape(m, g, co)
+    w2 = jnp.transpose(w2, (1, 0, 2))
+
+    def affine(bn_p, bn_s, width):
+        scale = bn_p["weight"] / jnp.sqrt(bn_s["running_var"] + eps)
+        bias = bn_p["bias"] - bn_s["running_mean"] * scale
+        return scale.reshape(g, width), bias.reshape(g, width)
+
+    s1, b1 = affine(params["bn1"], state["bn1"], m)
+    s2, b2 = affine(params["bn2"], state["bn2"], co)
+    return w1, s1, b1, w2, s2, b2
+
+
+def fused_block_tt_pointwise(params, state, cfg, x,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Drop-in eval-mode replacement for a k=1 stride-1 ``block_tt``:
+    x is NHWC, returns NHWC."""
+    assert cfg.k == 1 and cfg.stride == 1 and cfg.padding == 0
+    b, h, w, c = x.shape
+    w1, s1, b1, w2, s2, b2 = block_tt_pointwise_params(params, state, cfg)
+    act = "relu" if cfg.last else "heaviside"
+    y = fused_pointwise_block(x.reshape(b * h * w, c), w1, s1, b1, w2, s2,
+                              b2, act=act, interpret=interpret)
+    return y.reshape(b, h, w, cfg.out_planes)

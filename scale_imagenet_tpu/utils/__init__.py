@@ -1,0 +1,18 @@
+"""Support utilities: metrics, data iterators, image-space transforms,
+parameter accounting, profiling/tracing."""
+
+from .misc import (
+    AverageMetric,
+    LimitedDatasetIter,
+    ReplayDatasetIter,
+    count_parameters,
+    get_mean_and_std,
+    rgb_to_hsv,
+)
+from .tracing import StepTimer, profile_trace, print_tree_shapes
+
+__all__ = [
+    "AverageMetric", "LimitedDatasetIter", "ReplayDatasetIter",
+    "count_parameters", "get_mean_and_std", "rgb_to_hsv",
+    "StepTimer", "profile_trace", "print_tree_shapes",
+]

@@ -1,0 +1,121 @@
+"""Misc utilities mirroring the reference's model_utils/utils.py and
+utils/preprocess.py support code."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class AverageMetric:
+    """Streaming average (model_utils/utils.py:235-258)."""
+
+    def __init__(self):
+        self._sum = 0.0
+        self._count = 0
+
+    def add(self, value, n: int = 1):
+        self._sum += float(value) * n
+        self._count += n
+
+    @property
+    def avg(self) -> float:
+        return self._sum / max(self._count, 1)
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+
+class LimitedDatasetIter:
+    """Iterate only the first ``limit`` batches of a loader each epoch
+    (model_utils/utils.py ``LimitedDatasetIter``)."""
+
+    def __init__(self, loader, limit: int):
+        self.loader = loader
+        self.limit = limit
+
+    def __len__(self):
+        return min(len(self.loader), self.limit)
+
+    def __iter__(self):
+        for i, batch in enumerate(self.loader):
+            if i >= self.limit:
+                break
+            yield batch
+
+
+class ReplayDatasetIter:
+    """Cache the first epoch's batches and replay them afterwards
+    (model_utils/utils.py ``ReplayDatasetIter``)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self._cache = None
+
+    def __len__(self):
+        return len(self._cache) if self._cache is not None \
+            else len(self.loader)
+
+    def __iter__(self):
+        if self._cache is not None:
+            yield from self._cache
+            return
+        cache = []
+        for batch in self.loader:
+            cache.append(batch)
+            yield batch
+        self._cache = cache
+
+
+def count_parameters(params, verbose: bool = True) -> int:
+    """Parameter table + total (preprocess.py:115-125, minus PrettyTable)."""
+    total = 0
+    rows = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        rows.append((name, leaf.size))
+        total += leaf.size
+    if verbose:
+        width = max((len(n) for n, _ in rows), default=10)
+        for name, size in rows:
+            print(f"{name:<{width}}  {size:>12,}")
+        print(f"Total Trainable Params: {total:,}")
+    return total
+
+
+def rgb_to_hsv(img: jnp.ndarray, epsilon: float = 1e-10) -> jnp.ndarray:
+    """RGB->HSV transform (preprocess.py:14-59), HWC layout, H in degrees."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    max_rgb = jnp.max(img, axis=-1)
+    argmin_rgb = jnp.argmin(img, axis=-1)
+    min_rgb = jnp.min(img, axis=-1)
+    max_min = max_rgb - min_rgb + epsilon
+    h1 = 60.0 * (g - r) / max_min + 60.0
+    h2 = 60.0 * (b - g) / max_min + 180.0
+    h3 = 60.0 * (r - b) / max_min + 300.0
+    h = jnp.choose(argmin_rgb, [h2, h3, h1], mode="clip")
+    s = max_min / (max_rgb + epsilon)
+    v = max_rgb
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def get_mean_and_std(dataset, batches: int = 64):
+    """Per-channel mean/std of a dataset (bar_show.py ``get_mean_and_std``)."""
+    acc = None
+    acc_sq = None
+    n = 0
+    for i, (img, _) in enumerate(dataset):
+        arr = np.asarray(img, dtype=np.float64)
+        if acc is None:
+            acc = np.zeros(arr.shape[-1])
+            acc_sq = np.zeros(arr.shape[-1])
+        acc += arr.reshape(-1, arr.shape[-1]).sum(0)
+        acc_sq += (arr.reshape(-1, arr.shape[-1]) ** 2).sum(0)
+        n += arr.size // arr.shape[-1]
+        if i + 1 >= batches:
+            break
+    mean = acc / n
+    std = np.sqrt(acc_sq / n - mean**2)
+    return mean.astype(np.float32), std.astype(np.float32)

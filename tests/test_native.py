@@ -1,0 +1,66 @@
+"""Native C++ logic engine: exactness vs brute force and vs sympy."""
+
+import numpy as np
+import pytest
+
+from scale_imagenet_tpu.compile.logic import minimize_truth_table
+from scale_imagenet_tpu.native import (
+    count_term_gates,
+    eval_packed_table,
+    minimize_terms,
+    native_available,
+    pack_table_bits,
+    terms_to_dnf,
+)
+
+
+def _eval_terms(terms, idx, n):
+    return any(((idx ^ v) & ~m & ((1 << n) - 1)) == 0 for v, m in terms)
+
+
+def test_native_builds():
+    assert native_available(), "C++ ttlogic failed to build"
+
+
+@pytest.mark.parametrize("n,seed", [(4, 0), (8, 1), (10, 2)])
+def test_minimize_exact(n, seed):
+    rng = np.random.default_rng(seed)
+    col = rng.integers(0, 2, 2**n)
+    mts = np.nonzero(col)[0].tolist()
+    terms = minimize_terms(mts, n)
+    for idx in range(2**n):
+        assert _eval_terms(terms, idx, n) == bool(col[idx]), idx
+
+
+def test_native_matches_sympy_semantics():
+    import sympy
+
+    rng = np.random.default_rng(3)
+    n = 6
+    col = rng.integers(0, 2, 2**n)
+    mts = np.nonzero(col)[0].tolist()
+    res_n = minimize_truth_table(mts, n, engine="native")
+    res_s = minimize_truth_table(mts, n, engine="sympy")
+    syms = {f"x_{i}": sympy.Symbol(f"x_{i}") for i in range(n)}
+    fn = sympy.sympify(res_n["dnf"], locals=syms)
+    fs = sympy.sympify(res_s["dnf"], locals=syms)
+    # same boolean function (not necessarily same expression)
+    assert sympy.simplify_logic(sympy.Xor(fn, fs)) == sympy.false
+    # CNF agrees with DNF
+    fc = sympy.sympify(res_n["cnf"], locals=syms)
+    assert sympy.simplify_logic(sympy.Xor(fn, fc)) == sympy.false
+
+
+def test_packed_roundtrip():
+    rng = np.random.default_rng(4)
+    col = rng.integers(0, 2, 4096).astype(np.uint8)
+    packed = pack_table_bits(col)
+    idx = rng.integers(0, 4096, 500).astype(np.uint32)
+    np.testing.assert_array_equal(eval_packed_table(packed, idx), col[idx])
+
+
+def test_gate_count_consistency():
+    # x_0 & ~x_1 -> 1 AND + 1 NOT = 2 gates
+    assert count_term_gates([(0b10, 0b00)], 2) == 2
+    # two disjoint single-literal terms -> 1 OR
+    assert count_term_gates([(0b10, 0b01), (0b01, 0b10)], 2) == 1
