@@ -79,10 +79,24 @@ def _fixup_fhe_v3(xw: int, out1w: int) -> dict:
     return {}
 
 
+def _fixup_fhe_v2(xw: int, out1w: int) -> dict:
+    """TT_FHE.py:454-479 (asymmetric (3,2)/(2,3) kernels)."""
+    _PAD_B1 = (0, 0, 0, 1)
+    _PAD_R1 = (0, 1, 0, 0)
+    if xw == 16:
+        return {1: _PAD_B1, 2: _PAD_R1, 3: _PAD2, 4: _PAD2}
+    if xw in (8, 4) and out1w == xw:
+        return {1: _PAD_B1, 2: _PAD_R1}
+    if xw in (17, 9, 7):
+        return {3: _PAD2, 4: _PAD2}
+    return {}
+
+
 FIXUP_RULES = {
     "v2small": _fixup_v2small,  # also the xsmall table (identical if-chain)
     "v2": _fixup_v2,
     "fhe_v3": _fixup_fhe_v3,
+    "fhe_v2": _fixup_fhe_v2,
 }
 
 
@@ -104,6 +118,9 @@ class MultiHeadConfig:
     t: int = 8
     fixup: str = "v2small"
     T_convf: float = 0.0
+    # False: return the raw 4-head concat without interleave/fused block
+    # (the TT_FHE_XSMALL / alexnet-stem flavor, TT_FHE_XSMALL.py:564-571)
+    fuse: bool = True
 
     def head_cfgs(self) -> dict:
         """BlockTTConfig per enabled conv head (1-indexed)."""
@@ -139,6 +156,8 @@ class MultiHeadConfig:
 
     @property
     def out_channels(self) -> int:
+        if not self.fuse:
+            return self.cpt * self.in_planes
         return self.convf_cfg().out_planes
 
 
@@ -150,9 +169,10 @@ def init_multihead(key: jax.Array, cfg: MultiHeadConfig, dtype=jnp.float32):
         p, s = init_block_tt(k, hcfg, dtype)
         params[f"conv{idx}"] = p
         state[f"conv{idx}"] = s
-    p, s = init_block_tt(keys[-1], cfg.convf_cfg(), dtype)
-    params["convf"] = p
-    state["convf"] = s
+    if cfg.fuse:
+        p, s = init_block_tt(keys[-1], cfg.convf_cfg(), dtype)
+        params["convf"] = p
+        state["convf"] = s
     return params, state
 
 
@@ -202,7 +222,15 @@ def multihead_block(
         if idx in outs:
             outs[idx] = zero_pad2d(outs[idx], pad)
 
+    # input sizes outside the reference's fixup tables (which crash there)
+    # are reconciled by bottom-right cropping to the smallest head
+    th = min(o.shape[1] for o in outs.values())
+    tw = min(o.shape[2] for o in outs.values())
+    outs = {i: o[:, :th, :tw, :] for i, o in outs.items()}
+
     cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    if not cfg.fuse:
+        return cat, new_state
     cat = channel_interleave(cat, cfg.cpt)
 
     y, new_state["convf"] = block_tt(
@@ -225,9 +253,5 @@ def multihead_out_size(cfg: MultiHeadConfig, h: int, w: int):
         if idx in sizes:
             sh, sw = sizes[idx]
             sizes[idx] = (sh + t + b, sw + l + r)
-    first = sizes[sorted(sizes)[0]]
-    if any(s != first for s in sizes.values()):
-        raise ValueError(
-            f"multi-head shape mismatch after fixup: {sizes} "
-            f"(input {h}x{w}, cfg {cfg})")
-    return first
+    return (min(s[0] for s in sizes.values()),
+            min(s[1] for s in sizes.values()))

@@ -103,9 +103,37 @@ def _register_extended():
     reg["tt_certif"] = _simple("tt_certif", TTCertifConfig, init_tt_certif,
                                tt_certif_apply)
     reg["TT_certif"] = reg["tt_certif"]
-    reg["tt_fhe_small"] = _simple("tt_fhe_small", TTFHEConfig, init_tt_fhe,
-                                  tt_fhe_apply)
-    reg["TT_FHE_SMALL"] = reg["tt_fhe_small"]
+
+    from .tt_fhe import FHE_MODELS
+
+    for fname in FHE_MODELS:
+        def mkf(fname=fname):
+            def build(nfilter=8, tfilter=8, num_classes=10, **_):
+                cfg = TTFHEConfig(name=fname, nfilter=nfilter,
+                                  tfilter=tfilter, num_classes=num_classes)
+                return ModelDef(
+                    name=fname, config=cfg,
+                    init=lambda key: init_tt_fhe(key, cfg),
+                    apply=lambda p, s, x, training=False, key=None:
+                        tt_fhe_apply(p, s, cfg, x, training, key),
+                )
+            return build
+        reg[fname] = mkf()
+    reg["tt_fhe_small"] = reg["TT_FHE_SMALL"]
+
+    from .ttnet_imagenet import TTnetVGGStemConfig, init_ttnet_vgg_stem, \
+        ttnet_vgg_stem_apply
+
+    def _vgg_build(num_classes=1000, **_):
+        cfg = TTnetVGGStemConfig(num_classes=num_classes)
+        return ModelDef(
+            name="TT_vf_19lv3_imgnet_xsmall_VGG", config=cfg,
+            init=lambda key: init_ttnet_vgg_stem(key, cfg),
+            apply=lambda p, s, x, training=False, key=None:
+                ttnet_vgg_stem_apply(p, s, cfg, x, training, key),
+        )
+    reg["TT_vf_19lv3_imgnet_xsmall_VGG"] = _vgg_build
+    reg["ttnet_imagenet_vgg_stem"] = _vgg_build
     reg["mobilenet_v1_tt"] = _simple("mobilenet_v1_tt", MobilenetV1TTConfig,
                                      init_mobilenet_v1_tt,
                                      mobilenet_v1_tt_apply)

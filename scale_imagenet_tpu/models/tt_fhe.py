@@ -1,11 +1,19 @@
 """The FHE (homomorphic-encryption-friendly) CIFAR model family.
 
-Reference: models/TT_FHE_SMALL.py:575-627 (canonical), TT_FHE_XSMALL.py,
-TT_FHE_ref.py (stem-only ablation), TT_FHE.py (v2 3-head blocks).
+Reference models, one per file, reduced to configs here:
 
-Skeleton (TT_FHE_SMALL): Conv(3->p, k5, s2, p2) -> BN -> Heaviside ->
-one v3 multi-head block (k=2 heads, groups [1,1,4,1], out = 4*out_planes)
--> MaxPool(2) -> Flatten -> Linear(fc,100) -> BN -> Linear(100,10) -> BN.
+* ``TT_FHE_SMALL``  (TT_FHE_SMALL.py:575-627) — conv5 s2 p2 stem, one v3
+  block (k=2 heads, groups [1,1,4,1], out = 4*out_planes), MaxPool(2),
+  Linear(fc,100,no-bias) -> BN -> Linear(100,10,no-bias) -> BN;
+* ``TT_FHE_small``  (TT_FHE.py:510-565) — conv3 s2 p1 stem, noisy
+  Heaviside (T=0.03 / T_block=0.1), one v2 block (asymmetric (3,2)/(2,3)
+  kernels, groups [1,1,6,1], convf -> out_planes), AvgPool(2),
+  Linear(fc,100) -> BN -> Linear(100,10) with biases;
+* ``TT_FHE_XSMALL`` (TT_FHE_XSMALL.py:575-629) — conv5 s2 p2 stem, one v3
+  block that returns the raw 4-head concat (no fused block,
+  TT_FHE_XSMALL.py:564-571), MaxPool(2), Classifier_scale(fc,10,100)
+  without the polynomial (commented out there);
+* ``TT_FHE_ref``    (TT_FHE_ref.py:575-630) — the stem-only ablation.
 """
 
 from __future__ import annotations
@@ -19,7 +27,7 @@ import jax.numpy as jnp
 from ..layers.conv import conv2d, init_conv2d
 from ..layers.linear import init_linear, linear
 from ..layers.norm import batch_norm, init_batch_norm
-from ..layers.pool import flatten, max_pool
+from ..layers.pool import avg_pool, flatten, max_pool
 from ..ops.binarize import binarize01_act
 from .multihead import MultiHeadConfig, init_multihead, multihead_block, \
     multihead_out_size
@@ -28,40 +36,66 @@ FHE_BLOCK_VARIANTS = {
     # v3 block (TT_FHE_SMALL.py:434-488): k=2 heads, pad 1, 4x out
     "fhe_v3": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
                    groupvf=4, out_mult=4, fixup="fhe_v3"),
+    # v2 block (TT_FHE.py:384-435): (3,2)/(2,3) kernels, convf -> out
+    "fhe_v2": dict(k12=((3, 2), (2, 3)), pad12=(1, 1), groups=(1, 1, 6, 1),
+                   groupvf=4, out_mult=1, fixup="fhe_v2"),
+    # xsmall: v3 heads, raw concat output (no fused block)
+    "fhe_xsmall": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
+                       groupvf=4, out_mult=4, fixup="fhe_v3", fuse=False),
+}
+
+# per-model specs; classifier styles:
+#   "two_bn": lin(fc,100,nb) -> BN -> lin(100,10,nb) -> BN   (TT_FHE_SMALL)
+#   "plain":  lin(fc,100,b)  -> BN -> lin(100,10,b)          (TT_FHE_small)
+#   "scale":  lin(fc,100,nb) -> BN -> [poly] -> lin(100,10,b) (Classifier_scale)
+FHE_MODELS = {
+    "TT_FHE_SMALL": dict(variant="fhe_v3", k=5, pad=2, T=0.0, T_block=0.0,
+                         pool="max", classifier="two_bn", poly=False),
+    "TT_FHE_small": dict(variant="fhe_v2", k=3, pad=1, T=0.03, T_block=0.1,
+                         pool="avg", classifier="plain", poly=False),
+    "TT_FHE_XSMALL": dict(variant="fhe_xsmall", k=5, pad=2, T=0.0,
+                          T_block=0.0, pool="max", classifier="scale",
+                          poly=False),
+    "TT_FHE_ref": dict(variant=None, k=5, pad=2, T=0.0, T_block=0.0,
+                       pool="max", classifier="scale", poly=True),
 }
 
 
 @dataclasses.dataclass(frozen=True)
 class TTFHEConfig:
+    name: str = "TT_FHE_SMALL"
     nfilter: int = 8
     tfilter: int = 8
     num_classes: int = 10
     image_size: int = 32
     inter: int = 100
-    T: float = 0.0
-    T_block: float = 0.0
-    variant: str = "fhe_v3"
 
     @property
     def p(self):
         return self.nfilter * self.tfilter
 
+    @property
+    def spec(self):
+        return FHE_MODELS[self.name]
+
     def block_configs(self):
-        # cfg = [p] — a single stride-1 stage, last=False
-        # (TT_FHE_SMALL.py:593-606)
+        variant = self.spec["variant"]
+        if variant is None:
+            return []
+        T_block = self.spec["T_block"]
         return [MultiHeadConfig(
             in_planes=self.p, out_planes=self.p, stride=1, last=False,
-            T=self.T_block, T_convf=self.T_block,
-            **FHE_BLOCK_VARIANTS[self.variant])]
+            T=T_block, T_convf=T_block, **FHE_BLOCK_VARIANTS[variant])]
 
     def feature_shape(self):
-        s = (self.image_size + 2 * 2 - 5) // 2 + 1   # stem k5 s2 p2
+        k, pad = self.spec["k"], self.spec["pad"]
+        s = (self.image_size + 2 * pad - k) // 2 + 1
         h = w = s
         c = self.p
         for cfg in self.block_configs():
             h, w = multihead_out_size(cfg, h, w)
             c = cfg.out_channels
-        return h // 2, w // 2, c                      # MaxPool2d(2)
+        return h // 2, w // 2, c
 
     @property
     def fcsize(self):
@@ -70,46 +104,58 @@ class TTFHEConfig:
 
 
 def init_tt_fhe(key, cfg: TTFHEConfig, dtype=jnp.float32):
+    spec = cfg.spec
     blocks = cfg.block_configs()
     keys = jax.random.split(key, len(blocks) + 3)
     params: dict[str, Any] = {
-        "stem_conv": init_conv2d(keys[0], 3, cfg.p, 5, bias=False,
+        "stem_conv": init_conv2d(keys[0], 3, cfg.p, spec["k"], bias=False,
                                  dtype=dtype),
     }
     state: dict[str, Any] = {}
     params["stem_bn"], state["stem_bn"] = init_batch_norm(cfg.p, dtype)
-    for i, (bcfg, k) in enumerate(zip(blocks, keys[1:-2])):
+    for i, (bcfg, bk) in enumerate(zip(blocks, keys[1:-2])):
         params[f"block{i}"], state[f"block{i}"] = init_multihead(
-            k, bcfg, dtype)
+            bk, bcfg, dtype)
+    style = spec["classifier"]
+    lin1_bias = style == "plain"
+    lin2_bias = style in ("plain", "scale")
     params["lin1"] = init_linear(keys[-2], cfg.fcsize, cfg.inter,
-                                 bias=False, dtype=dtype)
+                                 bias=lin1_bias, dtype=dtype)
     params["bn1"], state["bn1"] = init_batch_norm(cfg.inter, dtype)
     params["lin2"] = init_linear(keys[-1], cfg.inter, cfg.num_classes,
-                                 bias=False, dtype=dtype)
-    params["bn2"], state["bn2"] = init_batch_norm(cfg.num_classes, dtype)
+                                 bias=lin2_bias, dtype=dtype)
+    if style == "two_bn":
+        params["bn2"], state["bn2"] = init_batch_norm(cfg.num_classes,
+                                                      dtype)
     return params, state
 
 
 def tt_fhe_apply(params, state, cfg: TTFHEConfig, x, training=False,
                  key=None):
+    from ..ops.poly import polynome_act
+
+    spec = cfg.spec
     new_state = {}
-    x = conv2d(params["stem_conv"], x, stride=2, padding=2)
+    x = conv2d(params["stem_conv"], x, stride=2, padding=spec["pad"])
     x, new_state["stem_bn"] = batch_norm(params["stem_bn"],
                                          state["stem_bn"], x, training)
     k0 = None
     if key is not None:
         key, k0 = jax.random.split(key)
-    x = binarize01_act(x, T=cfg.T, key=k0)
+    x = binarize01_act(x, T=spec["T"], key=k0)
     for i, bcfg in enumerate(cfg.block_configs()):
         bk = None if key is None else jax.random.fold_in(key, i)
         x, new_state[f"block{i}"] = multihead_block(
             params[f"block{i}"], state[f"block{i}"], bcfg, x, training, bk)
-    x = max_pool(x, 2)
+    x = max_pool(x, 2) if spec["pool"] == "max" else avg_pool(x, 2)
     x = flatten(x)
     x = linear(params["lin1"], x)
     x, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], x,
                                      training)
+    if spec["poly"]:
+        x = polynome_act(x)
     x = linear(params["lin2"], x)
-    x, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], x,
-                                     training)
+    if "bn2" in params:
+        x, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], x,
+                                         training)
     return x, new_state

@@ -157,3 +157,75 @@ def ttnet_imagenet_apply(params, state, cfg: TTnetImageNetConfig, x,
     logits, new_state["classifier"] = classifier_scale(
         params["classifier"], state["classifier"], x, training)
     return logits, new_state
+
+
+# ---------------------------------------------------------------------------
+# VGG16-stem variant (TT_general_imagenet_v2_xsmall_alexnet.py:156-214):
+# AvgPool(4) -> frozen VGG16 conv1/conv2 (3x3, 64ch, ReLU) -> BN ->
+# MaxPool(5) -> Heaviside -> one xsmall multi-head stage (last=True) ->
+# Flatten -> Classifier_scale.  The reference downloads pretrained VGG16;
+# in this zero-egress build the stem initializes randomly and the converter
+# can load VGG weights from any torch checkpoint.
+
+@dataclasses.dataclass(frozen=True)
+class TTnetVGGStemConfig:
+    num_classes: int = 1000
+    image_size: int = 224
+    classifier_inter: int = 1000
+    p: int = 64
+
+    def block_config(self) -> MultiHeadConfig:
+        return MultiHeadConfig(in_planes=self.p, out_planes=self.p,
+                               stride=1, last=True,
+                               **BLOCK_VARIANTS["xsmall"])
+
+    def feature_shape(self):
+        s = self.image_size // 4      # AvgPool(4); convs keep size
+        s = s // 5                    # MaxPool(5)
+        h, w = multihead_out_size(self.block_config(), s, s)
+        return h, w, self.block_config().out_channels
+
+    @property
+    def fcsize(self):
+        h, w, c = self.feature_shape()
+        return h * w * c
+
+
+def init_ttnet_vgg_stem(key, cfg: TTnetVGGStemConfig, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bn_p, bn_s = init_batch_norm(self_dim := 64, dtype)
+    params: dict[str, Any] = {
+        "vgg_conv1": init_conv2d(k1, 3, 64, 3, bias=True, dtype=dtype),
+        "vgg_conv2": init_conv2d(k2, 64, 64, 3, bias=True, dtype=dtype),
+        "stem_bn": bn_p,
+    }
+    state: dict[str, Any] = {"stem_bn": bn_s}
+    params["block0"], state["block0"] = init_multihead(
+        k3, cfg.block_config(), dtype)
+    cls_p, cls_s = init_classifier_scale(
+        k4, cfg.fcsize, cfg.classifier_inter, cfg.num_classes, dtype)
+    params["classifier"] = cls_p
+    state["classifier"] = cls_s
+    return params, state
+
+
+def ttnet_vgg_stem_apply(params, state, cfg: TTnetVGGStemConfig, x,
+                         training=False, key=None):
+    from ..layers.pool import max_pool
+
+    new_state = {}
+    x = avg_pool(x, 4)
+    # frozen pretrained stem: no BN-state updates, plain convs + ReLU
+    x = jax.nn.relu(conv2d(params["vgg_conv1"], x, padding=1))
+    x = jax.nn.relu(conv2d(params["vgg_conv2"], x, padding=1))
+    x, new_state["stem_bn"] = batch_norm(params["stem_bn"],
+                                         state["stem_bn"], x, training)
+    x = max_pool(x, 5)
+    x = binarize01_act(x)
+    x, new_state["block0"] = multihead_block(
+        params["block0"], state["block0"], cfg.block_config(), x,
+        training=training, key=key)
+    x = flatten(x)
+    logits, new_state["classifier"] = classifier_scale(
+        params["classifier"], state["classifier"], x, training)
+    return logits, new_state
