@@ -120,3 +120,115 @@ def import_ttnet_imagenet(sd: Mapping[str, np.ndarray], cfg):
     }
     state["classifier"] = {"bn": cls_bn_s}
     return params, state
+
+
+def import_tt_fhe(sd: Mapping[str, np.ndarray], cfg):
+    """TT_FHE_SMALL-family state dict -> (params, state).  Layout
+    (TT_FHE_SMALL.py:592-621): features = [conv, bn, act, block, pool,
+    flatten, lin, bn, lin, bn]."""
+    sd = strip_module_prefix(sd)
+    params = {"stem_conv": {
+        "weight": conv_weight_to_hwio(sd["features.0.weight"])}}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.1")
+    bp, bs = {}, {}
+    for tname, ours in (("Block_conv1", "conv1"), ("Block_conv2", "conv2"),
+                        ("Block_conv3", "conv3"), ("Block_convf", "convf")):
+        if f"features.3.{tname}.conv1.weight" in sd:
+            bp[ours], bs[ours] = _block_tt(sd, f"features.3.{tname}")
+    params["block0"], state["block0"] = bp, bs
+    params["lin1"] = {"weight": linear_weight_to_io(
+        sd["features.6.weight"])}
+    if "features.6.bias" in sd:
+        params["lin1"]["bias"] = jnp.array(sd["features.6.bias"])
+    params["bn1"], state["bn1"] = _bn(sd, "features.7")
+    params["lin2"] = {"weight": linear_weight_to_io(
+        sd["features.8.weight"])}
+    if "features.8.bias" in sd:
+        params["lin2"]["bias"] = jnp.array(sd["features.8.bias"])
+    if "features.9.weight" in sd:
+        params["bn2"], state["bn2"] = _bn(sd, "features.9")
+    return params, state
+
+
+def import_mobilenet_v2_tt(sd: Mapping[str, np.ndarray], cfg):
+    """mobilenet_v2_TT state dict -> (params, state) (TT.py:309-372)."""
+    sd = strip_module_prefix(sd)
+    params = {"stem_conv": {
+        "weight": conv_weight_to_hwio(sd["features.0.weight"])}}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.2")
+    n_blocks = len(cfg.block_configs())
+    for i in range(n_blocks):
+        base = f"features.{3 + i}"
+        bp, bs = {}, {}
+        for j in (1, 2, 3, 4):
+            if f"{base}.conv{j}.conv1.weight" in sd:
+                bp[f"conv{j}"], bs[f"conv{j}"] = _block_tt(
+                    sd, f"{base}.conv{j}")
+        bp["convf"], bs["convf"] = _block_tt(sd, f"{base}.convf")
+        params[f"block{i}"], state[f"block{i}"] = bp, bs
+    fc = f"features.{3 + n_blocks + 2}"
+    params["fc"] = {"weight": linear_weight_to_io(sd[f"{fc}.weight"]),
+                    "bias": jnp.array(sd[f"{fc}.bias"])}
+    return params, state
+
+
+def import_resnet(sd: Mapping[str, np.ndarray], cfg):
+    """DoReFa ResNet state dict -> (params, state)
+    (resnet_imagenet.py:117-173)."""
+    sd = strip_module_prefix(sd)
+    params = {"conv1": {"weight": conv_weight_to_hwio(sd["conv1.weight"])}}
+    state = {}
+    params["bn1"], state["bn1"] = _bn(sd, "bn1")
+    n_convs = 2 if cfg.block == "basic" else 3
+    for li, nblocks in enumerate(cfg.stage_blocks):
+        for bi in range(nblocks):
+            tb = f"layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            bp, bs = {}, {}
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"] = {"weight": conv_weight_to_hwio(
+                    sd[f"{tb}.conv{ci}.weight"])}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{tb}.bn{ci}")
+            if f"{tb}.downsample.0.weight" in sd:
+                bp["down_conv"] = {"weight": conv_weight_to_hwio(
+                    sd[f"{tb}.downsample.0.weight"])}
+                bp["down_bn"], bs["down_bn"] = _bn(sd, f"{tb}.downsample.1")
+            params[name], state[name] = bp, bs
+    params["fc"] = {"weight": linear_weight_to_io(sd["fc.weight"]),
+                    "bias": jnp.array(sd["fc.bias"])}
+    return params, state
+
+
+def import_ttnet_v1(sd: Mapping[str, np.ndarray], cfg):
+    """v1 ImageNet family state dict -> (params, state)
+    (TT_general_imagenet.py model layout)."""
+    sd = strip_module_prefix(sd)
+    params = {"stem_conv": {
+        "weight": conv_weight_to_hwio(sd["features.1.weight"])}}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.2")
+    n_blocks = len(cfg.block_configs())
+    for i in range(n_blocks):
+        base = f"features.{4 + i}"
+        bp, bs = {}, {}
+        for j in (1, 2, 3):
+            bp[f"conv{j}"], bs[f"conv{j}"] = _block_tt(
+                sd, f"{base}.Block_conv{j}")
+        bp["convf"], bs["convf"] = _block_tt(sd, f"{base}.Block_convf")
+        params[f"block{i}"], state[f"block{i}"] = bp, bs
+    fc = f"features.{4 + n_blocks + 2}"
+    params["fc"] = {"weight": linear_weight_to_io(sd[f"{fc}.weight"]),
+                    "bias": jnp.array(sd[f"{fc}.bias"])}
+    return params, state
+
+
+# registry-name -> importer
+IMPORTERS = {
+    "ttnet_imagenet": import_ttnet_imagenet,
+    "tt_fhe": import_tt_fhe,
+    "mobilenet_v2_tt": import_mobilenet_v2_tt,
+    "resnet": import_resnet,
+    "ttnet_v1": import_ttnet_v1,
+}

@@ -67,11 +67,17 @@ def load_params(cfg, model):
     if cfg.ckpt is None:
         return model.init(jax.random.PRNGKey(cfg.seed))
     if cfg.ckpt.endswith(".pth") or cfg.ckpt.endswith(".t7"):
-        from .convert.torch_import import import_ttnet_imagenet, \
-            load_torch_state_dict
+        from .convert import torch_import as ti
 
-        sd = load_torch_state_dict(cfg.ckpt)
-        return import_ttnet_imagenet(sd, model.config)
+        family = {
+            "TTnetImageNetConfig": ti.import_ttnet_imagenet,
+            "TTFHEConfig": ti.import_tt_fhe,
+            "MobilenetV2TTConfig": ti.import_mobilenet_v2_tt,
+            "ResNetConfig": ti.import_resnet,
+            "TTnetV1Config": ti.import_ttnet_v1,
+        }[type(model.config).__name__]
+        sd = ti.load_torch_state_dict(cfg.ckpt)
+        return family(sd, model.config)
     payload = load_checkpoint(cfg.ckpt)
     return payload["params"], payload["state"]
 

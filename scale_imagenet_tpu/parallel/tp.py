@@ -1,0 +1,138 @@
+"""Channel-group tensor parallelism for TTnet via shard_map.
+
+The defining property of TT blocks — grouped convolutions whose channel
+groups are fully independent — makes them embarrassingly tensor-parallel:
+shard every channel-indexed axis blockwise over the 'model' mesh axis and
+the *entire block stack runs with zero model-axis communication*:
+
+* stem: input replicated, conv weight output-sharded -> activations land
+  channel-sharded;
+* heads: depthwise/grouped convs are channel-local; group boundaries align
+  with shard boundaries whenever (p / n_model) % 16 == 0 (all reference
+  configs at n_model <= 4);
+* concat + channel interleave: a device's local interleave of its local
+  head slices IS the contiguous global slice [d*4L, (d+1)*4L) of the
+  interleaved tensor, so the fused block's 16-channel groups stay local;
+* flatten is channel-major, so the flattened features are blockwise
+  sharded, and the classifier's first matmul is row-parallel: one
+  ``psum`` over 'model' — the only model collective in the network —
+  after which the head runs replicated.
+
+GSPMD cannot express this (its partitioner rejects grouped-conv feature
+sharding); shard_map states it directly.  Data parallelism composes on the
+'data' axis: gradients are ``pmean``'d over it, and training BN moments
+are also pmean'd over 'data' (synchronized BN — the reference's DDP used
+per-process stats; eval numerics are identical either way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.ttnet_imagenet import TTnetImageNetConfig, \
+    ttnet_imagenet_features
+from ..models.classifier import classifier_scale
+from ..train.losses import accuracy_topk, cross_entropy
+
+
+def local_config(cfg: TTnetImageNetConfig, n_model: int) \
+        -> TTnetImageNetConfig:
+    """The per-shard config: p/n channels everywhere."""
+    p = cfg.p
+    if p % n_model:
+        raise ValueError(f"p={p} not divisible by model axis {n_model}")
+    p_local = p // n_model
+    min_group = 16 if cfg.variant == "small" else 4
+    if p_local % min_group:
+        raise ValueError(
+            f"local width {p_local} breaks the {min_group}-channel group "
+            f"alignment; use a smaller model axis")
+    return dataclasses.replace(cfg, nfilter=p_local, tfilter=1)
+
+
+def tp_param_specs(params) -> dict:
+    """PartitionSpecs for the channel-sharded parameter tree."""
+    def spec(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        if "classifier" in names:
+            if "lin1" in names and leaf.ndim == 2:
+                return P("model", None)     # row-parallel first matmul
+            return P()                       # head replicated
+        if leaf.ndim == 4:                   # conv HWIO: shard outputs
+            return P(None, None, None, "model")
+        if leaf.ndim == 1:                   # BN vectors follow channels
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_tp(params, mesh: Mesh):
+    specs = tp_param_specs(params)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def _forward_local(params, state, lcfg, x, training, key):
+    """Per-shard forward: local feature stack + row-parallel classifier."""
+    feats, new_state = ttnet_imagenet_features(params, state, lcfg, x,
+                                               training=training, key=key)
+    # classifier: local partial matmul -> the one model collective
+    partial_y = feats @ params["classifier"]["lin1"]["weight"]
+    y = jax.lax.psum(partial_y, "model")
+    from ..layers.norm import batch_norm
+    from ..ops.poly import polynome_act
+
+    y, bn_s = batch_norm(params["classifier"]["bn"],
+                         state["classifier"]["bn"], y, training)
+    y = polynome_act(y)
+    logits = y @ params["classifier"]["lin2"]["weight"] \
+        + params["classifier"]["lin2"]["bias"]
+    new_state["classifier"] = {"bn": bn_s}
+    return logits, new_state
+
+
+def make_tp_eval_step(model, mesh: Mesh):
+    """shard_map'd eval step; params must be sharded via shard_params_tp
+    and batches sharded over 'data'."""
+    lcfg = local_config(model.config, mesh.shape["model"])
+
+    def step(params, state, images, labels):
+        logits, _ = _forward_local(params, state, lcfg, images,
+                                   training=False, key=None)
+        # logits replicated over 'model'; metrics averaged over 'data'
+        loss = jax.lax.pmean(cross_entropy(logits, labels), "data")
+        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        return {
+            "loss": loss,
+            "top1": jax.lax.pmean(top1, "data"),
+            "top5": jax.lax.pmean(top5, "data"),
+            "n": jax.lax.psum(jnp.asarray(images.shape[0], jnp.float32),
+                              "data"),
+        }
+
+    pspecs = None
+
+    def build(params, state):
+        nonlocal pspecs
+        pspecs = (tp_param_specs(params), tp_param_specs(state))
+
+    def eval_step(params, state, images, labels):
+        if pspecs is None:
+            build(params, state)
+        mapped = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(pspecs[0], pspecs[1],
+                      P("data", None, None, None), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(mapped)(params, state, images, labels)
+
+    return eval_step

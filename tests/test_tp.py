@@ -1,0 +1,64 @@
+"""Channel-group tensor parallelism: shard_map TP matches the
+single-device model exactly on an 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scale_imagenet_tpu.models import get_model
+from scale_imagenet_tpu.parallel import make_mesh
+from scale_imagenet_tpu.parallel.tp import (
+    local_config,
+    make_tp_eval_step,
+    shard_params_tp,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def model_and_data():
+    # p=64 so the model axis (2) keeps 16-channel group alignment
+    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
+                      layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (8, 224, 224, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 1000)
+    return model, params, state, images, labels
+
+
+def test_local_config_width(model_and_data):
+    model = model_and_data[0]
+    lcfg = local_config(model.config, 2)
+    assert lcfg.p == model.config.p // 2
+    assert lcfg.fcsize == model.config.fcsize // 2
+
+
+def test_tp_matches_single_device(model_and_data):
+    model, params, state, images, labels = model_and_data
+
+    # single-device reference
+    from scale_imagenet_tpu.train import make_eval_step
+
+    ref = make_eval_step(model)(params, state, images, labels)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sp = shard_params_tp(params, mesh)
+        ss = shard_params_tp(state, mesh)
+        imgs = jax.device_put(images, NamedSharding(
+            mesh, P("data", None, None, None)))
+        lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        step = make_tp_eval_step(model, mesh)
+        tp = step(sp, ss, imgs, lbls)
+
+    for k in ("loss", "top1", "top5"):
+        np.testing.assert_allclose(float(tp[k]), float(ref[k]),
+                                   rtol=1e-4, atol=1e-4), k
+
+
+def test_local_config_rejects_misaligned():
+    model = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4,
+                      layers=0)  # p=16: /2 -> 8 < 16-channel groups
+    with pytest.raises(ValueError):
+        local_config(model.config, 2)

@@ -56,21 +56,9 @@ def test_tt_vf_19lv2_parity(x64):
     m = get_model("TT_vf_19lv2_imgnet", nfilter=4, tfilter=4)
     assert m.config.fcsize == tmodel.features[-1].in_features
 
-    params = {"stem_conv": _conv(sd, "features.1")}
-    state = {}
-    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.2")
-    for i in range(5):
-        base = f"features.{4 + i}"
-        bp, bs = {}, {}
-        for j in (1, 2, 3):
-            bp[f"conv{j}"], bs[f"conv{j}"] = _cell(
-                sd, f"{base}.Block_conv{j}")
-        bp["convf"], bs["convf"] = _cell(sd, f"{base}.Block_convf")
-        params[f"block{i}"], state[f"block{i}"] = bp, bs
-    fc = f"features.{4 + 5 + 2}"
-    params["fc"] = {"weight": jnp.array(sd[f"{fc}.weight"].T),
-                    "bias": jnp.array(sd[f"{fc}.bias"])}
+    from scale_imagenet_tpu.convert.torch_import import import_ttnet_v1
 
+    params, state = import_ttnet_v1(sd, m.config)
     params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float64),
                           params)
     state = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float64),

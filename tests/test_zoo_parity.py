@@ -57,25 +57,11 @@ def test_tt_fhe_small_parity(x64):
     tmodel = TT_FHE_SMALL(cfg).double().eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
 
+    from scale_imagenet_tpu.convert.torch_import import import_tt_fhe
     from scale_imagenet_tpu.models import get_model
 
     m = get_model("tt_fhe_small", nfilter=4, tfilter=4)
-
-    # convert: features = [conv, bn, act, block, maxpool, flatten,
-    #                      lin(fc,100), bn(100), lin(100,10), bn(10)]
-    params = {"stem_conv": _conv_p(sd, "features.0")}
-    state = {}
-    params["stem_bn"], state["stem_bn"] = _bn_ps(sd, "features.1")
-    bp, bs = {}, {}
-    for tname, ours in (("Block_conv1", "conv1"), ("Block_conv2", "conv2"),
-                        ("Block_conv3", "conv3"), ("Block_convf", "convf")):
-        bp[ours], bs[ours] = _block_tt_ps(sd, f"features.3.{tname}")
-    params["block0"], state["block0"] = bp, bs
-    params["lin1"] = {"weight": jnp.array(sd["features.6.weight"].T)}
-    params["bn1"], state["bn1"] = _bn_ps(sd, "features.7")
-    params["lin2"] = {"weight": jnp.array(sd["features.8.weight"].T)}
-    params["bn2"], state["bn2"] = _bn_ps(sd, "features.9")
-
+    params, state = import_tt_fhe(sd, m.config)
     params, state = _f64(params), _f64(state)
 
     rng = np.random.default_rng(7)
@@ -94,25 +80,12 @@ def test_mobilenet_v2_tt_parity(x64):
     tmodel = mobilenet_v2_TT().double().eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
 
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_mobilenet_v2_tt
     from scale_imagenet_tpu.models import get_model
 
     m = get_model("mobilenet_v2_tt")
-
-    # features = [conv, act2, bn, block x4, avgpool, flatten, linear]
-    params = {"stem_conv": _conv_p(sd, "features.0")}
-    state = {}
-    params["stem_bn"], state["stem_bn"] = _bn_ps(sd, "features.2")
-    for i in range(4):
-        base = f"features.{3 + i}"
-        bp, bs = {}, {}
-        for j in (1, 2, 3):
-            bp[f"conv{j}"], bs[f"conv{j}"] = _block_tt_ps(
-                sd, f"{base}.conv{j}")
-        bp["convf"], bs["convf"] = _block_tt_ps(sd, f"{base}.convf")
-        params[f"block{i}"], state[f"block{i}"] = bp, bs
-    fc_base = "features.9"
-    params["fc"] = {"weight": jnp.array(sd[f"{fc_base}.weight"].T),
-                    "bias": jnp.array(sd[f"{fc_base}.bias"])}
+    params, state = import_mobilenet_v2_tt(sd, m.config)
     params, state = _f64(params), _f64(state)
 
     rng = np.random.default_rng(8)
@@ -133,32 +106,11 @@ def test_dorefa_resnet18_parity(x64):
 
     from scale_imagenet_tpu.models import get_model
 
+    from scale_imagenet_tpu.convert.torch_import import import_resnet
+
     m = get_model("resnet18", wbit=4, abit=4)
-    params, state = m.init(jax.random.PRNGKey(0))
-
-    def conv(prefix):
-        return _conv_p(sd, prefix)
-
-    new_params = {"conv1": conv("conv1")}
-    new_state = {}
-    new_params["bn1"], new_state["bn1"] = _bn_ps(sd, "bn1")
-    for li, nblocks in enumerate((2, 2, 2, 2)):
-        for bi in range(nblocks):
-            tb = f"layer{li + 1}.{bi}"
-            name = f"layer{li + 1}_{bi}"
-            bp, bs = {}, {}
-            bp["conv1"] = conv(f"{tb}.conv1")
-            bp["bn1"], bs["bn1"] = _bn_ps(sd, f"{tb}.bn1")
-            bp["conv2"] = conv(f"{tb}.conv2")
-            bp["bn2"], bs["bn2"] = _bn_ps(sd, f"{tb}.bn2")
-            if f"{tb}.downsample.0.weight" in sd:
-                bp["down_conv"] = conv(f"{tb}.downsample.0")
-                bp["down_bn"], bs["down_bn"] = _bn_ps(sd,
-                                                      f"{tb}.downsample.1")
-            new_params[name], new_state[name] = bp, bs
-    new_params["fc"] = {"weight": jnp.array(sd["fc.weight"].T),
-                        "bias": jnp.array(sd["fc.bias"])}
-    params, state = _f64(new_params), _f64(new_state)
+    params, state = import_resnet(sd, m.config)
+    params, state = _f64(params), _f64(state)
 
     rng = np.random.default_rng(9)
     x = rng.uniform(-1, 1, (2, 3, 224, 224))
