@@ -1,0 +1,167 @@
+"""LUT inference: run a compiled TTnet by table lookup instead of conv math.
+
+After truth-table compilation every Block_TT output filter is an exact
+function of its n = k*k*(in/groups) window bits.  Inference then reduces
+to:
+
+    index = window bits dotted with powers of two     (one small conv)
+    out   = table[filter, index]                      (one gather)
+
+which is *bit-exact* with the float block by construction — table rows
+were produced by the float block itself — and numerically immune to
+precision (all-integer).  The last (ReLU) block's tables hold float values
+instead of bits.
+
+The index conv reuses the exact bit order of ``enumerate_patterns``
+(MSB-first, channel-major), so ``block_truth_table`` tables drop in
+unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..layers.pool import avg_pool, constant_pad2d
+from ..models.block_tt import BlockTTConfig
+from ..models.multihead import FIXUP_RULES, MultiHeadConfig, \
+    channel_interleave
+from ..layers.pool import zero_pad2d
+from .truth_table import block_truth_table
+
+
+def _as_pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def _index_weights(cfg: BlockTTConfig) -> jnp.ndarray:
+    """Grouped-conv weights computing the pattern index: bit j (MSB-first,
+    channel-major (c, a, b)) has weight 2^(n-1-j).  HWIO (kh, kw, ci, G)."""
+    kh, kw = _as_pair(cfg.k)
+    ci = cfg.in_planes // cfg.groupsici
+    n = kh * kw * ci
+    w = np.zeros((kh, kw, ci, cfg.groupsici), np.float32)
+    for c in range(ci):
+        for a in range(kh):
+            for b in range(kw):
+                j = c * kh * kw + a * kw + b
+                w[a, b, c, :] = float(2 ** (n - 1 - j))
+    return jnp.asarray(w)
+
+
+@dataclasses.dataclass
+class BlockLUT:
+    cfg: BlockTTConfig
+    table: jnp.ndarray       # (out_planes, 2^n) — bits or floats
+    index_w: jnp.ndarray     # (kh, kw, ci, G)
+
+
+def compile_block_tt_lut(params, state, cfg: BlockTTConfig) -> BlockLUT:
+    table = block_truth_table(params, state, cfg)     # (2^n, out)
+    return BlockLUT(cfg=cfg, table=jnp.asarray(table.T),
+                    index_w=_index_weights(cfg))
+
+
+def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray) -> jnp.ndarray:
+    """x_bits: NHWC {0,1} float; returns the block output (bits, or floats
+    for a last/ReLU block)."""
+    cfg = lut.cfg
+    if cfg.padding != 0:
+        x_bits = constant_pad2d(x_bits, cfg.padding)
+    idx = jax.lax.conv_general_dilated(
+        x_bits, lut.index_w, window_strides=(cfg.stride, cfg.stride),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=cfg.groupsici)
+    idx = idx.astype(jnp.int32)                        # (B, H, W, G)
+    out_per_group = cfg.out_planes // cfg.groupsici
+    # filter f belongs to group f // out_per_group; flat gather over
+    # (out_planes * 2^n)
+    n_entries = lut.table.shape[1]
+    idx_full = jnp.repeat(idx, out_per_group, axis=-1)  # (B,H,W,out)
+    f_offsets = jnp.arange(cfg.out_planes, dtype=jnp.int32) * n_entries
+    flat = lut.table.reshape(-1)
+    return jnp.take(flat, idx_full + f_offsets)
+
+
+@dataclasses.dataclass
+class MultiHeadLUT:
+    cfg: MultiHeadConfig
+    heads: dict            # head idx -> BlockLUT
+    convf: BlockLUT | None
+
+
+def compile_multihead_lut(params, state, cfg: MultiHeadConfig) \
+        -> MultiHeadLUT:
+    heads = {}
+    for i, hcfg in cfg.head_cfgs().items():
+        heads[i] = compile_block_tt_lut(params[f"conv{i}"],
+                                        state[f"conv{i}"], hcfg)
+    convf = None
+    if cfg.fuse:
+        convf = compile_block_tt_lut(params["convf"], state["convf"],
+                                     cfg.convf_cfg())
+    return MultiHeadLUT(cfg=cfg, heads=heads, convf=convf)
+
+
+def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray):
+    """Mirror of ``multihead_block`` with every Block_TT as a LUT."""
+    cfg = lut.cfg
+    outs = {i: lut_block_tt_apply(lut.heads[i], x_bits)
+            for i in sorted(lut.heads)}
+    if cfg.stride == 2:
+        # heaviside(avgpool2(bits) - 0.5) == [sum of the 4 bits >= 2]
+        outs[4] = (avg_pool(x_bits, 2) >= 0.5).astype(x_bits.dtype)
+        outs[3] = (avg_pool(outs[3], 2) >= 0.5).astype(x_bits.dtype)
+    else:
+        outs[4] = x_bits
+
+    pads = FIXUP_RULES[cfg.fixup](x_bits.shape[2], outs[1].shape[2])
+    for idx, pad in pads.items():
+        if idx in outs:
+            outs[idx] = zero_pad2d(outs[idx], pad)
+    th = min(o.shape[1] for o in outs.values())
+    tw = min(o.shape[2] for o in outs.values())
+    outs = {i: o[:, :th, :tw, :] for i, o in outs.items()}
+
+    cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    if not cfg.fuse:
+        return cat
+    cat = channel_interleave(cat, cfg.cpt)
+    return lut_block_tt_apply(lut.convf, cat)
+
+
+def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
+    """Compile every multi-head block of a ttnet_imagenet model."""
+    return [
+        compile_multihead_lut(params[f"block{i}"], state[f"block{i}"], bcfg)
+        for i, bcfg in enumerate(cfg.block_configs())
+    ]
+
+
+def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x):
+    """Full LUT-mode forward of a ttnet_imagenet model: float stem and
+    classifier, table-lookup blocks."""
+    from ..layers.conv import conv2d
+    from ..layers.norm import batch_norm
+    from ..layers.pool import avg_pool as _ap, flatten
+    from ..models.classifier import classifier_scale
+    from ..ops.binarize import binarize01_act
+    from ..pallas.stem import space_to_depth_stem
+
+    if cfg.stem_impl == "s2d":
+        h = space_to_depth_stem(x, params["stem_conv"]["weight"])
+    else:
+        h = _ap(x, 2)
+        h = conv2d(params["stem_conv"], h, stride=2, padding=3)
+    h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+    h = binarize01_act(h)
+    for lut in luts:
+        h = lut_multihead_apply(lut, h)
+    h = _ap(h, 2)
+    h = flatten(h)
+    logits, _ = classifier_scale(params["classifier"],
+                                 state["classifier"], h, False)
+    return logits

@@ -1,0 +1,77 @@
+"""LUT inference engine: bit-exact equivalence with the float model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scale_imagenet_tpu.compile.lut_eval import (
+    compile_block_tt_lut,
+    compile_ttnet_lut,
+    lut_block_tt_apply,
+    lut_ttnet_apply,
+)
+from scale_imagenet_tpu.models import get_model
+from scale_imagenet_tpu.models.block_tt import BlockTTConfig, block_tt, \
+    init_block_tt
+
+
+def _nontrivial_state(state):
+    return jax.tree.map(lambda a: a + 0.07, state)
+
+
+def test_pointwise_block_lut_exact():
+    cfg = BlockTTConfig(in_planes=16, out_planes=16, k=1, padding=0,
+                        groupsici=4)   # n = 4 bits
+    params, state = init_block_tt(jax.random.PRNGKey(0), cfg)
+    state = _nontrivial_state(state)
+    lut = compile_block_tt_lut(params, state, cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (3, 7, 7, 16)) < 0.5
+         ).astype(jnp.float32)
+    ref, _ = block_tt(params, state, cfg, x)
+    got = lut_block_tt_apply(lut, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_depthwise_block_lut_exact():
+    # k=2 depthwise with padding + stride: n = 4 bits per filter
+    cfg = BlockTTConfig(in_planes=8, out_planes=8, k=2, padding=1,
+                        stride=2, groupsici=8)
+    params, state = init_block_tt(jax.random.PRNGKey(2), cfg)
+    state = _nontrivial_state(state)
+    lut = compile_block_tt_lut(params, state, cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(3), (2, 9, 9, 8)) < 0.5
+         ).astype(jnp.float32)
+    ref, _ = block_tt(params, state, cfg, x)
+    got = lut_block_tt_apply(lut, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_last_block_float_table():
+    cfg = BlockTTConfig(in_planes=16, out_planes=16, k=1, padding=0,
+                        groupsici=4, last=True)   # ReLU float output
+    params, state = init_block_tt(jax.random.PRNGKey(4), cfg)
+    state = _nontrivial_state(state)
+    lut = compile_block_tt_lut(params, state, cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 3, 16)) < 0.5
+         ).astype(jnp.float32)
+    ref, _ = block_tt(params, state, cfg, x)
+    got = lut_block_tt_apply(lut, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_full_model_lut_forward():
+    """End-to-end: the xsmall TTnet (n=4-bit tables) in LUT mode matches
+    the float model's logits."""
+    m = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4, layers=0)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+
+    luts = compile_ttnet_lut(params, state, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+
+    ref, _ = m.apply(params, state, x)
+    got = lut_ttnet_apply(luts, params, state, m.config, x)
+    # blocks are bit-exact; only the float classifier can differ in ulps
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
