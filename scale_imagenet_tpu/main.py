@@ -145,23 +145,33 @@ def main(argv=None):
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
 
         key = jax.random.PRNGKey(cfg.seed)
-        for epoch in range(cfg.max_epochs):
-            loader.set_epoch(epoch)
-            for i, (images, labels) in enumerate(
-                    device_prefetch(iter(loader), sharding=shardings)):
-                key, sub = jax.random.split(key)
-                ts, metrics = train_step(ts, images, labels, sub)
-                if i % cfg.log_interval == 0:
-                    step = epoch * steps_per_epoch + i
-                    loss = float(metrics["loss"])
-                    print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
-                          f"loss {loss:.4f} top1 {float(metrics['top1']):.2f}")
-                    logger.add_scalar("Loss/train", loss, step)
-                    logger.add_scalar("Accuracy/train",
-                                      float(metrics["top1"]), step)
+        try:
+            for epoch in range(cfg.max_epochs):
+                loader.set_epoch(epoch)
+                for i, (images, labels) in enumerate(
+                        device_prefetch(iter(loader), sharding=shardings)):
+                    key, sub = jax.random.split(key)
+                    ts, metrics = train_step(ts, images, labels, sub)
+                    if i % cfg.log_interval == 0:
+                        step = epoch * steps_per_epoch + i
+                        loss = float(metrics["loss"])
+                        print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
+                              f"loss {loss:.4f} "
+                              f"top1 {float(metrics['top1']):.2f}")
+                        logger.add_scalar("Loss/train", loss, step)
+                        logger.add_scalar("Accuracy/train",
+                                          float(metrics["top1"]), step)
+                ckpt.save(int(ts.step), {
+                    "params": ts.params, "state": ts.model_state,
+                    "opt_state": ts.opt_state, "step": int(ts.step)})
+        except (KeyboardInterrupt, Exception):
+            # failure containment the reference lacks entirely: snapshot
+            # the full train state so the run resumes from the crash point
             ckpt.save(int(ts.step), {
                 "params": ts.params, "state": ts.model_state,
-                "opt_state": ts.opt_state, "step": int(ts.step)})
+                "opt_state": ts.opt_state, "step": int(ts.step)},
+                metadata={"crash": True})
+            raise
     logger.close()
 
 

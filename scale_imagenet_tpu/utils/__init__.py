@@ -7,12 +7,13 @@ from .misc import (
     ReplayDatasetIter,
     count_parameters,
     get_mean_and_std,
+    get_sparsity_stat,
     rgb_to_hsv,
 )
 from .tracing import StepTimer, profile_trace, print_tree_shapes
 
 __all__ = [
     "AverageMetric", "LimitedDatasetIter", "ReplayDatasetIter",
-    "count_parameters", "get_mean_and_std", "rgb_to_hsv",
+    "count_parameters", "get_mean_and_std", "get_sparsity_stat", "rgb_to_hsv",
     "StepTimer", "profile_trace", "print_tree_shapes",
 ]

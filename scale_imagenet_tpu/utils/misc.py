@@ -119,3 +119,21 @@ def get_mean_and_std(dataset, batches: int = 64):
     mean = acc / n
     std = np.sqrt(acc_sq / n - mean**2)
     return mean.astype(np.float32), std.astype(np.float32)
+
+
+def get_sparsity_stat(params):
+    """Sparsity over ``weight_mask`` parameters: (per-layer zero fractions,
+    total zeros, total mask weights) — SeqBinModelHelper.get_sparsity_stat
+    (netbin.py:750-778)."""
+    parts = []
+    nr_zero = 0
+    tot = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = [str(getattr(p, "key", p)) for p in path]
+        if names and names[-1] == "weight_mask":
+            nz = int(jnp.sum(jnp.abs(leaf) < 1e-4))
+            n = leaf.size
+            parts.append(nz / n)
+            nr_zero += nz
+            tot += n
+    return parts, nr_zero, tot
