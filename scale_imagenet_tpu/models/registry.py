@@ -134,6 +134,19 @@ def _register_extended():
         )
     reg["TT_vf_19lv3_imgnet_xsmall_VGG"] = _vgg_build
     reg["ttnet_imagenet_vgg_stem"] = _vgg_build
+
+    from .tt_fhe import TTFHEAlexnetConfig, init_tt_fhe_alexnet, \
+        tt_fhe_alexnet_apply
+
+    def _fhe_alex_build(num_classes=10, maxpool=3, **_):
+        cfg = TTFHEAlexnetConfig(num_classes=num_classes, maxpool=maxpool)
+        return ModelDef(
+            name="TT_FHE_XSMALL_vAlexnet", config=cfg,
+            init=lambda key: init_tt_fhe_alexnet(key, cfg),
+            apply=lambda p, s, x, training=False, key=None:
+                tt_fhe_alexnet_apply(p, s, cfg, x, training, key),
+        )
+    reg["TT_FHE_XSMALL_vAlexnet"] = _fhe_alex_build
     reg["mobilenet_v1_tt"] = _simple("mobilenet_v1_tt", MobilenetV1TTConfig,
                                      init_mobilenet_v1_tt,
                                      mobilenet_v1_tt_apply)

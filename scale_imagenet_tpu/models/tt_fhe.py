@@ -159,3 +159,65 @@ def tt_fhe_apply(params, state, cfg: TTFHEConfig, x, training=False,
         x, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], x,
                                          training)
     return x, new_state
+
+
+# ---------------------------------------------------------------------------
+# TT_FHE_XSMALL_vAlexnet (TT_FHE_XSMALL_vAlexnet.py:587-655): frozen VGG16
+# conv1 stem -> BN -> MaxPool(3) -> Heaviside -> one v3 block ->
+# Classifier_scale(fc, 10, 100).  maxpool-size ablations in the reference
+# comment: 3 -> 74.1%, 5 -> 71.86%, 4 -> 72.55%.
+
+@dataclasses.dataclass(frozen=True)
+class TTFHEAlexnetConfig:
+    num_classes: int = 10
+    image_size: int = 32
+    inter: int = 100
+    maxpool: int = 3
+    p: int = 64
+
+    def block_configs(self):
+        return [MultiHeadConfig(
+            in_planes=self.p, out_planes=self.p, stride=1, last=False,
+            **FHE_BLOCK_VARIANTS["fhe_v3"])]
+
+    @property
+    def fcsize(self):
+        s = self.image_size // self.maxpool
+        h, w = multihead_out_size(self.block_configs()[0], s, s)
+        return h * w * self.block_configs()[0].out_channels
+
+
+def init_tt_fhe_alexnet(key, cfg: TTFHEAlexnetConfig, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params: dict[str, Any] = {
+        "vgg_conv1": init_conv2d(k1, 3, 64, 3, bias=True, dtype=dtype),
+    }
+    state: dict[str, Any] = {}
+    params["stem_bn"], state["stem_bn"] = init_batch_norm(64, dtype)
+    params["block0"], state["block0"] = init_multihead(
+        k2, cfg.block_configs()[0], dtype)
+    params["lin1"] = init_linear(k3, cfg.fcsize, cfg.inter, bias=False,
+                                 dtype=dtype)
+    params["bn1"], state["bn1"] = init_batch_norm(cfg.inter, dtype)
+    params["lin2"] = init_linear(k4, cfg.inter, cfg.num_classes, bias=True,
+                                 dtype=dtype)
+    return params, state
+
+
+def tt_fhe_alexnet_apply(params, state, cfg: TTFHEAlexnetConfig, x,
+                         training=False, key=None):
+    new_state = {}
+    x = jax.nn.relu(conv2d(params["vgg_conv1"], x, padding=1))
+    x, new_state["stem_bn"] = batch_norm(params["stem_bn"],
+                                         state["stem_bn"], x, training)
+    x = max_pool(x, cfg.maxpool)
+    x = binarize01_act(x)
+    x, new_state["block0"] = multihead_block(
+        params["block0"], state["block0"], cfg.block_configs()[0], x,
+        training, key)
+    x = flatten(x)
+    x = linear(params["lin1"], x)
+    x, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], x,
+                                     training)
+    x = linear(params["lin2"], x)
+    return x, new_state
