@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 256
-WARMUP = 3
+WARMUP = 1
 ITERS = 10
 _BASELINE_FILE = os.path.join(os.path.dirname(__file__), "results",
                               "torch_cpu_baseline.json")
@@ -39,28 +39,28 @@ def main():
     model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
     params, state = model.init(jax.random.PRNGKey(0))
 
+    # Steady-state device throughput: an in-graph loop excludes the remote
+    # tunnel's per-dispatch latency (~37 ms/call here, which would otherwise
+    # dominate).  The accumulator chains iterations so none can be elided,
+    # and the final host read closes the timing region (block_until_ready
+    # can return early over the experimental axon tunnel).
     @jax.jit
-    def forward(params, state, x):
-        logits, _ = model.apply(params, state, x, training=False)
-        return logits
+    def loop(params, state, x):
+        def body(i, acc):
+            logits, _ = model.apply(params, state, x + acc * 0.0,
+                                    training=False)
+            return acc + logits[0, 0]
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 224, 224, 3),
                            jnp.float32)
     params = jax.device_put(params)
     state = jax.device_put(state)
 
-    # NB: block_until_ready() can return early over the experimental axon
-    # tunnel; chain a data dependency across iterations and force a real
-    # device->host read to close the timing region.
-    for _ in range(WARMUP):
-        float(forward(params, state, x)[0, 0])
+    float(loop(params, state, x))  # compile + warmup
 
     t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
-    for _ in range(ITERS):
-        out = forward(params, state, x)
-        acc = acc + out[0, 0]
-    float(acc)
+    float(loop(params, state, x))
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
