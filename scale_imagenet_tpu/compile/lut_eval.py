@@ -59,6 +59,16 @@ class BlockLUT:
     index_w: jnp.ndarray     # (kh, kw, ci, G)
 
 
+# LUTs are pytrees (cfg static) so compiled models can be passed as jit
+# *arguments* — closure capture would inline the tables as constants
+# (gigabytes in the program body; remote compilers reject it outright).
+jax.tree_util.register_pytree_node(
+    BlockLUT,
+    lambda lut: ((lut.table, lut.index_w), lut.cfg),
+    lambda cfg, leaves: BlockLUT(cfg, *leaves),
+)
+
+
 def compile_block_tt_lut(params, state, cfg: BlockTTConfig) -> BlockLUT:
     table = block_truth_table(params, state, cfg)     # (2^n, out)
     return BlockLUT(cfg=cfg, table=jnp.asarray(table.T),
@@ -91,6 +101,13 @@ class MultiHeadLUT:
     cfg: MultiHeadConfig
     heads: dict            # head idx -> BlockLUT
     convf: BlockLUT | None
+
+
+jax.tree_util.register_pytree_node(
+    MultiHeadLUT,
+    lambda m: ((m.heads, m.convf), m.cfg),
+    lambda cfg, leaves: MultiHeadLUT(cfg, *leaves),
+)
 
 
 def compile_multihead_lut(params, state, cfg: MultiHeadConfig) \

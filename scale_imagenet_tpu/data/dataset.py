@@ -59,3 +59,41 @@ class ArrayDataset:
         if self.transform is not None:
             img = self.transform(img)
         return img, int(self.labels[idx])
+
+
+class CIFAR10:
+    """CIFAR-10 from the standard binary batches (cifar-10-batches-py or
+    -bin) on local disk — the torchvision.datasets.CIFAR10 analog without
+    downloads (this environment has no egress).  Yields HWC uint8 arrays."""
+
+    def __init__(self, root: str, train: bool = True, transform=None):
+        import pickle
+
+        self.transform = transform
+        base = os.path.join(root, "cifar-10-batches-py")
+        files = [f"data_batch_{i}" for i in range(1, 6)] if train \
+            else ["test_batch"]
+        images, labels = [], []
+        for fn in files:
+            with open(os.path.join(base, fn), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            images.append(d[b"data"])
+            labels.extend(d[b"labels"])
+        import numpy as np
+
+        data = np.concatenate(images).reshape(-1, 3, 32, 32)
+        self.images = np.transpose(data, (0, 2, 3, 1))  # HWC uint8
+        self.labels = np.asarray(labels, np.int64)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        img = self.images[idx]
+        if self.transform is not None:
+            from PIL import Image
+
+            img = self.transform(Image.fromarray(img))
+        else:
+            img = img.astype("float32") / 255.0
+        return img, int(self.labels[idx])

@@ -193,7 +193,7 @@ class TTnetVGGStemConfig:
 
 def init_ttnet_vgg_stem(key, cfg: TTnetVGGStemConfig, dtype=jnp.float32):
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    bn_p, bn_s = init_batch_norm(self_dim := 64, dtype)
+    bn_p, bn_s = init_batch_norm(64, dtype)
     params: dict[str, Any] = {
         "vgg_conv1": init_conv2d(k1, 3, 64, 3, bias=True, dtype=dtype),
         "vgg_conv2": init_conv2d(k2, 64, 64, 3, bias=True, dtype=dtype),
