@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TTnet TPU harness")
-    p.add_argument("--mode", choices=["eval", "train"], default="eval")
+    p.add_argument("--mode", choices=["eval", "train", "compile"],
+                   default="eval")
+    p.add_argument("--compile_out", type=str, default="./truth_tables",
+                   help="artifact directory for --mode compile")
+    p.add_argument("--max_minimize_bits", type=int, default=12)
     p.add_argument("--root_dir", type=str, default="./")
     p.add_argument("--data_dir", type=str,
                    default="./../datasets/ILSVRC/Data/CLS-LOC/")
@@ -101,6 +105,32 @@ def main(argv=None):
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"model {model.name}: {n_params:,} params, "
           f"fcsize {model.config.fcsize}")
+
+    if cfg.mode == "compile":
+        # truth-table compilation: every Block_TT of every multi-head block
+        import json
+
+        from .compile.truth_table import compile_model_truth_tables
+
+        items = []
+        for i, bcfg in enumerate(model.config.block_configs()):
+            for h, hcfg in sorted(bcfg.head_cfgs().items()):
+                items.append((f"block{i}_conv{h}",
+                              params[f"block{i}"][f"conv{h}"],
+                              state[f"block{i}"][f"conv{h}"], hcfg))
+            if getattr(bcfg, "fuse", True):
+                items.append((f"block{i}_convf",
+                              params[f"block{i}"]["convf"],
+                              state[f"block{i}"]["convf"],
+                              bcfg.convf_cfg()))
+        summary = compile_model_truth_tables(
+            items, cfg.compile_out,
+            max_minimize_bits=cfg.max_minimize_bits)
+        print(json.dumps(summary, indent=2))
+        with open(os.path.join(cfg.compile_out, "summary.json"), "w") as f:
+            json.dump(summary, f)
+        print(f"total gates: {summary['total_gates']:,}")
+        return summary
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
