@@ -15,6 +15,11 @@ instead of bits.
 The index conv reuses the exact bit order of ``enumerate_patterns``
 (MSB-first, channel-major), so ``block_truth_table`` tables drop in
 unchanged.
+
+Performance note (measured, v5e, flagship model, batch 256): XLA gathers
+over 65536-entry tables run at ~125 img/s vs ~1300+ img/s for the conv
+path — LUT mode is the *verification/compilation* execution of a compiled
+network (and the FHE/SAT export semantics), not the throughput path.
 """
 
 from __future__ import annotations
