@@ -95,9 +95,9 @@ def block_tt(
             and cfg.k == 1 and cfg.stride == 1 and cfg.padding == 0
             and cfg.quant == "float" and cfg.T == 0.0
             and jax.default_backend() == "tpu"):
-        from ..pallas.fused_block import fused_block_tt_pointwise
+        from ..pallas.fused_block import fused_block_tt_pointwise_v2
 
-        return fused_block_tt_pointwise(params, state, cfg, x), state
+        return fused_block_tt_pointwise_v2(params, state, cfg, x), state
 
     if cfg.padding != 0 and not pre_padded:
         x = constant_pad2d(x, cfg.padding)

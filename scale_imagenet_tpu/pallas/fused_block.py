@@ -220,11 +220,12 @@ def fused_pointwise_block_v2(x, w1, s1, b1, w2, s2, b2,
     b2b = b2.reshape(nb, 1, gb * co)
 
     if tile is None:
-        # VMEM (16 MB scoped): double-buffered x/out blocks + the h
-        # intermediate + both (double-buffered) weight bundles
+        # VMEM (16 MB scoped): double-buffered x/out blocks, both weight
+        # bundles, and ~5 live h-sized temporaries (the erf/GELU chain
+        # materializes its elementwise intermediates at full vector width)
         weights = 2 * (w1b.size + w2b.size) // nb * 4
-        budget = max(12 * 1024 * 1024 - weights, 2 * 1024 * 1024) // 4
-        per_row = gb * (m + 2 * ci + 2 * co)
+        budget = max(11 * 1024 * 1024 - weights, 2 * 1024 * 1024) // 4
+        per_row = gb * (5 * m + 2 * ci + 2 * co)
         tile = max(min(1024, budget // per_row), 8)
         tile = max((tile // 8) * 8, 8)
     n_pad = -(-n // tile) * tile

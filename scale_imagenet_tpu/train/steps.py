@@ -26,11 +26,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_eval_step(model, mesh: Mesh | None = None, donate: bool = False):
-    """Returns ``eval_step(params, state, images, labels) -> metrics dict``."""
+def make_eval_step(model, mesh: Mesh | None = None, key=None):
+    """Returns ``eval_step(params, state, images, labels) -> metrics dict``.
+
+    ``key``: optional PRNG key for models whose eval forward is stochastic
+    (noisy dead-zone Heaviside with T != 0, e.g. tt_certif) — the reference
+    applies that noise at eval time too.
+    """
 
     def eval_step(params, state, images, labels):
-        logits, _ = model.apply(params, state, images, training=False)
+        logits, _ = model.apply(params, state, images, training=False,
+                                key=key)
         loss = cross_entropy(logits, labels)
         top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
         return {"loss": loss, "top1": top1, "top5": top5,
