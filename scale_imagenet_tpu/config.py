@@ -38,12 +38,12 @@ numerics = NumericsConfig()
 @dataclasses.dataclass
 class PerformanceConfig:
     # Fuse pointwise TT blocks (conv->BN->GELU->conv->BN->act) into one
-    # Pallas kernel at eval time on TPU backends (avoids the 8x-amplified
-    # HBM intermediate; ~1e-7 GELU approx).  Measured 5.7x faster than the
-    # XLA chain in isolation, but the group-major layout transposes it
-    # needs currently cost more than it saves in the full model
-    # (3.0k -> 1.9k img/s end to end), so it is opt-in until the blocks
-    # carry group-major activations natively.
+    # Pallas kernel at eval time on TPU backends (the v2 bundled
+    # block-diagonal kernel: no layout transposes, dense MXU shapes,
+    # ~2e-6 GELU approx).  13.9x faster than the XLA chain when measured
+    # standalone, but end to end the full model is HBM/schedule-bound
+    # elsewhere and the fused path measures neutral (46.6 vs 47.9
+    # ms/batch at B=256), so it stays opt-in.
     fused_pointwise_blocks: bool = False
 
 

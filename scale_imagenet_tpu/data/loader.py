@@ -93,10 +93,14 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         q.put((images, labels))
 
     def producer():
+        # exceptions must reach the consumer — a silently dead producer
+        # looks like an empty dataset
         try:
             for batch in iterator:
                 put(batch)
-        finally:
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
+        else:
             q.put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -105,4 +109,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -137,6 +137,9 @@ def main(argv=None):
     logger = MetricsLogger(log_dir)
 
     if cfg.mode == "eval":
+        from .parallel.mesh import local_batch_size
+
+        local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
                          imagenet_eval_transform)
         print(f"eval dataset: {len(ds)} images / {len(ds.classes)} classes")

@@ -20,10 +20,12 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
+    if data * model > n:
         raise ValueError(
-            f"mesh {data}x{model} != {n} available devices")
-    arr = np.asarray(devices).reshape(data, model)
+            f"mesh {data}x{model} needs more than the {n} available devices")
+    # submeshes are allowed (e.g. a single-device mesh on a multi-device
+    # host): use the first data*model devices
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -1,0 +1,66 @@
+"""CLI surface tests: eval on a synthetic ImageFolder and truth-table
+compilation end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scale_imagenet_tpu.main import main
+
+
+@pytest.fixture(scope="module")
+def fake_imagenet(tmp_path_factory):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("fake_imagenet")
+    rng = np.random.default_rng(0)
+    for c in range(3):
+        d = root / "val" / f"n{c:08d}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (280, 260, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.jpg")
+    return str(root)
+
+
+def test_cli_eval(fake_imagenet, tmp_path):
+    top1, top5 = main([
+        "--mode", "eval", "--data_dir", fake_imagenet,
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--root_dir", str(tmp_path), "--log_interval", "1",
+        "--mesh_data", "1",
+    ])
+    assert 0.0 <= top1 <= 100.0 and 0.0 <= top5 <= 100.0
+    # batch not divisible by the mesh data axis -> clear error, not an
+    # empty-looking run (the silent-producer-death regression)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        main(["--mode", "eval", "--data_dir", fake_imagenet,
+              "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+              "--eval_batch_size", "3", "--mesh_data", "2",
+              "--root_dir", str(tmp_path)])
+    # metrics JSONL written
+    logs = list((tmp_path / "logs").rglob("metrics.jsonl"))
+    # (the failed-validation run above also created an empty log dir)
+    assert logs and max(f.stat().st_size for f in logs) > 0
+
+
+def test_cli_compile(tmp_path):
+    out = str(tmp_path / "artifacts")
+    summary = main([
+        "--mode", "compile", "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--compile_out", out, "--root_dir", str(tmp_path),
+    ])
+    assert summary["total_gates"] > 0
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    with open(os.path.join(out, "summary.json")) as f:
+        assert json.load(f)["total_gates"] == summary["total_gates"]
+    # per-block artifact dirs exist and are non-empty
+    dirs = [d for d in os.listdir(out) if d.startswith("block")]
+    assert dirs
+    assert os.listdir(os.path.join(out, dirs[0]))
