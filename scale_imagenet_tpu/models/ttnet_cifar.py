@@ -644,3 +644,53 @@ def cifar10lownoise_multi_sample(params, state, cfg, x, x_adv, eps: float,
     logits, _, _ = stats_bn(params["head_bn"], state["head_bn"], logits,
                             training=False, use_scalar_scale=True)
     return multi_sample_unpack_natural(logits, k), loss
+
+
+def model_general_interval_loss(params, state, cfg: ModelGeneralConfig, x,
+                                eps: float, inputs_min: float = 0.0,
+                                inputs_max: float = 1.0):
+    """Interval-arithmetic stability loss for model_general — the
+    compute_act_stabilizing_loss_abstract path (netbin.py:726-738) through
+    the features up to (and including) the final Heaviside."""
+    from ..layers.norm import bn_scale_bias
+    from ..ops.weights import binarize_weights
+    from ..robust.interval import (
+        interval_batch_norm, interval_conv2d, interval_from_eps_ball,
+        interval_heaviside, interval_mono)
+
+    iv = interval_from_eps_ball(x, eps, inputs_min, inputs_max)
+    och, k, st = cfg.preprocessing_cnn
+    if cfg.type_weights_preprocessing == "float":
+        iv = interval_conv2d(iv, params["stem_conv"]["weight"], stride=st,
+                             padding=st)
+        if "bias" in params["stem_conv"]:
+            b = params["stem_conv"]["bias"]
+            iv.vmin, iv.vmax = iv.vmin + b, iv.vmax + b
+    else:
+        w = binarize_weights(_stem_binarizer(cfg.type_weights_preprocessing),
+                             params["stem_conv"]["weight"],
+                             params["stem_conv"].get("weight_mask"))
+        iv = interval_conv2d(iv, w, stride=st, padding=st)
+    iv = interval_batch_norm(iv, *bn_scale_bias(params["stem_bn"],
+                                                state["stem_bn"]))
+    iv = interval_heaviside(iv)
+
+    for i in range(len(cfg.filters)):
+        g, stv, pad = cfg.groups[i], cfg.strides[i], cfg.paddings[i]
+        iv = interval_conv2d(iv, params[f"conv{i}a"]["weight"], stride=stv,
+                             padding=pad, groups=g)
+        if "bias" in params[f"conv{i}a"]:
+            b = params[f"conv{i}a"]["bias"]
+            iv.vmin, iv.vmax = iv.vmin + b, iv.vmax + b
+        iv = interval_batch_norm(iv, *bn_scale_bias(params[f"bn{i}a"],
+                                                    state[f"bn{i}a"]))
+        iv = interval_mono(iv, jax.nn.relu)
+        iv = interval_conv2d(iv, params[f"conv{i}b"]["weight"], stride=1,
+                             padding=0, groups=g)
+        if "bias" in params[f"conv{i}b"]:
+            b = params[f"conv{i}b"]["bias"]
+            iv.vmin, iv.vmax = iv.vmin + b, iv.vmax + b
+        iv = interval_batch_norm(iv, *bn_scale_bias(params[f"bn{i}b"],
+                                                    state[f"bn{i}b"]))
+        iv = interval_heaviside(iv)
+    return iv.loss

@@ -96,3 +96,32 @@ class CheckpointManager:
     def latest(self) -> str | None:
         link = os.path.join(self.root, "last")
         return os.path.realpath(link) if os.path.exists(link) else None
+
+
+def save_model(path: str, model, params, state):
+    """Save weights WITH the model identity + config embedded — the
+    ModelHelper.create_with_load pattern (model_utils/utils.py:26-83),
+    where ctor args ride along in the checkpoint."""
+    import dataclasses
+
+    save_checkpoint(path, {"params": params, "state": state},
+                    metadata={
+                        "model_name": model.name,
+                        "config": dataclasses.asdict(model.config),
+                    })
+
+
+def load_model(path: str):
+    """Rebuild the model from the embedded identity and restore weights.
+    Returns (model_def, params, state)."""
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    from ..models import get_model
+
+    kwargs = {k: v for k, v in meta["config"].items()
+              if k != "name" and not isinstance(v, (list, dict))}
+    model = get_model(meta["model_name"], **kwargs)
+    example = model.init(__import__("jax").random.PRNGKey(0))
+    payload = load_checkpoint(path, like={"params": example[0],
+                                          "state": example[1]})
+    return model, payload["params"], payload["state"]
