@@ -1,0 +1,83 @@
+"""The complete reference workflow: a torch checkpoint saved the way
+main.py saves them (DDP 'module.' prefix, model_state_dict wrapper) loads
+through the CLI and reproduces the torch model's predictions through the
+real JPEG pipeline in float32."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from _reference import enable_reference_imports
+
+enable_reference_imports()
+
+
+@pytest.fixture(scope="module")
+def ckpt_and_data(tmp_path_factory):
+    import argparse
+
+    from PIL import Image
+
+    from models.TT_general_imagenet_v2_small import TT_vf_19lv3_imgnet_small
+
+    root = tmp_path_factory.mktemp("ckpt_flow")
+    cfg = argparse.Namespace(nfilter=4, tfilter=4, layers=0,
+                             groups=[1, None, 4, None])
+    torch.manual_seed(0)
+    tm = TT_vf_19lv3_imgnet_small(cfg).eval()
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    torch.save({"model_state_dict": sd}, root / "last.pth")
+
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        d = root / "data" / "val" / f"n{c:08d}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (256, 256, 3),
+                                         dtype=np.uint8)).save(
+                d / f"i{i}.jpg")
+    return tm, str(root)
+
+
+def test_cli_eval_with_torch_ckpt(ckpt_and_data, tmp_path):
+    _, root = ckpt_and_data
+    from scale_imagenet_tpu.main import main
+
+    top1, top5 = main([
+        "--mode", "eval", "--data_dir", os.path.join(root, "data"),
+        "--ckpt", os.path.join(root, "last.pth"),
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "8", "--num_workers", "2",
+        "--root_dir", str(tmp_path), "--mesh_data", "1",
+    ])
+    assert 0.0 <= top1 <= 100.0
+
+
+def test_f32_prediction_agreement(ckpt_and_data):
+    """argmax parity torch-vs-jax in plain float32 on real decoded JPEGs —
+    the practical form of checkpoint accuracy parity."""
+    tm, root = ckpt_and_data
+    from scale_imagenet_tpu.convert.torch_import import (
+        import_ttnet_imagenet, load_torch_state_dict)
+    from scale_imagenet_tpu.data import ImageFolder, imagenet_eval_transform
+    from scale_imagenet_tpu.models import get_model
+
+    ds = ImageFolder(os.path.join(root, "data", "val"),
+                     imagenet_eval_transform)
+    imgs = np.stack([ds[i][0] for i in range(len(ds))])
+    with torch.no_grad():
+        tl = tm(torch.tensor(imgs.transpose(0, 3, 1, 2))).numpy()
+
+    m = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4, layers=0)
+    p, s = import_ttnet_imagenet(
+        load_torch_state_dict(os.path.join(root, "last.pth")), m.config)
+    jl, _ = m.apply(p, s, jnp.asarray(imgs))
+    agreement = float(
+        (np.asarray(jl).argmax(1) == tl.argmax(1)).mean())
+    assert agreement == 1.0
