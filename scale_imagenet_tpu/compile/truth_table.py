@@ -21,7 +21,6 @@ built from — the two are identical.
 
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np

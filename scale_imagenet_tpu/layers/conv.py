@@ -8,7 +8,6 @@ torch ``F.conv2d(..., groups=...)``, netbin.py:390-464).
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ All functions are pure; randomness is threaded through explicit
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

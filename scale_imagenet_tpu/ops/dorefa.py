@@ -8,7 +8,6 @@ quantized ResNet baselines.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .quantize import _ste

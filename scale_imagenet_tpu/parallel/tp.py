@@ -36,7 +36,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.ttnet_imagenet import TTnetImageNetConfig, \
     ttnet_imagenet_features
-from ..models.classifier import classifier_scale
 from ..train.losses import accuracy_topk, cross_entropy
 
 
