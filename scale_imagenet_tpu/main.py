@@ -54,6 +54,9 @@ def parse_args(argv=None):
                    help="data-parallel mesh axis (-1: all devices)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="model-parallel mesh axis")
+    p.add_argument("--native_data", action="store_true",
+                   help="use the C++ libjpeg loader (6x faster decode; "
+                        "plain-bilinear resize vs PIL's antialiased)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -140,8 +143,13 @@ def main(argv=None):
         from .parallel.mesh import local_batch_size
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
-        ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
-                         imagenet_eval_transform)
+        if cfg.native_data:
+            from .native.ttdata import NativeImageFolder
+
+            ds = NativeImageFolder(os.path.join(cfg.data_dir, "val"))
+        else:
+            ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
+                             imagenet_eval_transform)
         print(f"eval dataset: {len(ds)} images / {len(ds.classes)} classes")
         loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
                             num_workers=cfg.num_workers, drop_last=True)
