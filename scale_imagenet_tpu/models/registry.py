@@ -189,6 +189,28 @@ def _register_extended():
             return build
         reg[v1name] = mk1()
 
+    from .ttnet_general_float import TTGeneralFloatConfig, \
+        init_tt_general_float, tt_general_float_apply
+
+    for gname, variant in (("TT_general", "general"),
+                           ("TT_general_big", "general_big"),
+                           ("TT_general_8", "general_8")):
+        def mkg(gname=gname, variant=variant):
+            def build(nfilter=8, tfilter=8, layers=18, a_bit=2,
+                      num_classes=1000, image_size=224, **_):
+                cfg = TTGeneralFloatConfig(
+                    variant=variant, nfilter=nfilter, tfilter=tfilter,
+                    layers=layers, a_bit=a_bit, num_classes=num_classes,
+                    image_size=image_size)
+                return ModelDef(
+                    name=gname, config=cfg,
+                    init=lambda key: init_tt_general_float(key, cfg),
+                    apply=lambda p, s, x, training=False, key=None:
+                        tt_general_float_apply(p, s, cfg, x, training, key),
+                )
+            return build
+        reg[gname] = mkg()
+
     reg["model_general"] = _simple("model_general", ModelGeneralConfig,
                                    init_model_general, model_general_apply,
                                    returns_aux=True)

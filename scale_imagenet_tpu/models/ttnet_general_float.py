@@ -1,0 +1,250 @@
+"""The float (pre-TT) general family: ``TT_general``, ``TT_general_big``,
+``TT_general_8`` (models/TT_general_imagenet.py:16-615) and their CIFAR
+clones in models/TT_general.py.
+
+These predate weight binarization: the cell is conv -> BN -> GELU -> 1x1
+conv -> [2-bit act] -> BN (activation BEFORE bn2, unlike the _BN family;
+TT_general_imagenet.py:36-41), heads are k=4/3/2/1 at pads 3/1/0/0-ish,
+the fused block is k=2 pad=1 last=True -> GELU, and the stem applies the
+activation *before* its BatchNorm (TT_general_imagenet.py:404-409).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..layers.conv import conv2d, init_conv2d
+from ..layers.linear import init_linear, linear
+from ..layers.norm import batch_norm, init_batch_norm
+from ..layers.pool import avg_pool, flatten
+from ..ops.binarize import binarize01_act
+from ..ops.quantize import activation_quantize
+from .multihead import channel_interleave
+from .ttnet_cifar import BlockResnetConfig, block_resnet_out_size, \
+    init_block_resnet
+
+
+def init_block_resnet_big(key, cfg: BlockResnetConfig, dtype=jnp.float32):
+    """Block_resnet_big (TT_general_imagenet.py:73-102): an extra 1x1
+    ``conv1b`` between the two convs."""
+    params, state = init_block_resnet(key, cfg, dtype)
+    kb = jax.random.fold_in(key, 99)
+    params["conv1b"] = init_conv2d(kb, cfg.a * cfg.in_planes,
+                                   cfg.a * cfg.in_planes, 1,
+                                   groups=cfg.groupsici, bias=False,
+                                   dtype=dtype)
+    bnb_p, bnb_s = init_batch_norm(cfg.a * cfg.in_planes, dtype)
+    params["bn1b"] = bnb_p
+    state["bn1b"] = bnb_s
+    return params, state
+
+
+def block_resnet_float(params, state, cfg: BlockResnetConfig, x,
+                       training=False, key=None):
+    """The imgnet-float cell: conv1 -> bn1 -> gelu [-> conv1b -> bn1b ->
+    gelu] -> conv2 -> act -> bn2 (act BEFORE bn2), last -> gelu(bn2(.))."""
+    out = conv2d(params["conv1"], x, stride=cfg.stride,
+                 padding=cfg.padding, groups=cfg.groupsici)
+    out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
+    out = jax.nn.gelu(out, approximate=False)
+    new_state = {"bn1": bn1_s}
+    if "conv1b" in params:
+        out = conv2d(params["conv1b"], out, stride=1, padding=0,
+                     groups=cfg.groupsici)
+        out, bnb_s = batch_norm(params["bn1b"], state["bn1b"], out,
+                                training)
+        out = jax.nn.gelu(out, approximate=False)
+        new_state["bn1b"] = bnb_s
+    out = conv2d(params["conv2"], out, stride=1, padding=0,
+                 groups=cfg.groupsici)
+    if cfg.last:
+        out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
+        out = jax.nn.gelu(out, approximate=False)
+    else:
+        if cfg.a_bit > 1:
+            out = activation_quantize(out, cfg.a_bit)
+        else:
+            out = binarize01_act(out, key=key)
+        out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
+    new_state["bn2"] = bn2_s
+    return out, new_state
+
+
+# variant -> (head ks, head pads, convf (k, pad, groupdiv-from), big?)
+_FLOAT_VARIANTS = {
+    "general": dict(ks=(4, 3, 2, 1), pads=(1, 1, 0, 0), convf_k=2,
+                    convf_pad=1, big=False),
+    "general_8": dict(ks=(8, 4, 2, 1), pads=(3, 1, 0, 0), convf_k=3,
+                      convf_pad=1, big=False, convf_gdiv=6),
+    "general_big": dict(ks=(4, 3, 2, 1), pads=(1, 1, 0, 0), convf_k=2,
+                        convf_pad=1, big=True),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FloatMultiHeadConfig:
+    in_planes: int
+    out_planes: int
+    stride: int = 1
+    a_bit: int = 2
+    groups: tuple = (1, 2, 4, 4)   # None entries disable heads
+    variant: str = "general"
+
+    @property
+    def spec(self):
+        return _FLOAT_VARIANTS[self.variant]
+
+    def head_cfgs(self):
+        cfgs = {}
+        for i, g in enumerate(self.groups):
+            if g is None:
+                continue
+            cfgs[i + 1] = BlockResnetConfig(
+                self.in_planes, self.in_planes, k=self.spec["ks"][i],
+                padding=self.spec["pads"][i], stride=self.stride,
+                groupsici=self.in_planes // g, a_bit=self.a_bit)
+        return cfgs
+
+    @property
+    def cpt(self):
+        return sum(1 for g in self.groups if g is not None)
+
+    def convf_cfg(self):
+        cin = self.cpt * self.in_planes
+        # g2 in the reference ends up the index-2 group (or index-1 + 2)
+        gdiv = self.spec.get("convf_gdiv")
+        if gdiv is None:
+            # g2 in the reference is the index-2 group, else index-1 + 2
+            gdiv = self.groups[2] if self.groups[2] is not None \
+                else (self.groups[1] or 1) + 2
+        g = cin // gdiv if gdiv and cin % gdiv == 0 else 1
+        return BlockResnetConfig(cin, self.out_planes, k=self.spec["convf_k"],
+                                 padding=self.spec["convf_pad"], stride=1,
+                                 groupsici=g, last=True, a_bit=self.a_bit)
+
+
+def init_float_multihead(key, cfg: FloatMultiHeadConfig, dtype=jnp.float32):
+    heads = cfg.head_cfgs()
+    keys = jax.random.split(key, len(heads) + 1)
+    init_cell = init_block_resnet_big if cfg.spec["big"] \
+        else init_block_resnet
+    params, state = {}, {}
+    for (i, hcfg), k in zip(sorted(heads.items()), keys[:-1]):
+        params[f"conv{i}"], state[f"conv{i}"] = init_cell(k, hcfg, dtype)
+    params["convf"], state["convf"] = init_cell(keys[-1], cfg.convf_cfg(),
+                                                dtype)
+    return params, state
+
+
+def float_multihead(params, state, cfg: FloatMultiHeadConfig, x,
+                    training=False, key=None):
+    heads = cfg.head_cfgs()
+    new_state = {}
+    outs = {}
+    for i in sorted(heads):
+        outs[i], new_state[f"conv{i}"] = block_resnet_float(
+            params[f"conv{i}"], state[f"conv{i}"], heads[i], x, training,
+            key)
+    # crop fixup (TT_general_imagenet.py:152-153) + generic reconcile
+    th = min(o.shape[1] for o in outs.values())
+    tw = min(o.shape[2] for o in outs.values())
+    outs = {i: o[:, :th, :tw, :] for i, o in outs.items()}
+    cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    cat = channel_interleave(cat, cfg.cpt)
+    y, new_state["convf"] = block_resnet_float(
+        params["convf"], state["convf"], cfg.convf_cfg(), cat, training,
+        key)
+    return y, new_state
+
+
+def float_multihead_out_size(cfg: FloatMultiHeadConfig, h: int, w: int):
+    heads = cfg.head_cfgs()
+    sizes = [block_resnet_out_size(c, h, w) for c in heads.values()]
+    th = min(s[0] for s in sizes)
+    tw = min(s[1] for s in sizes)
+    return block_resnet_out_size(cfg.convf_cfg(), th, tw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TTGeneralFloatConfig:
+    variant: str = "general"
+    nfilter: int = 8
+    tfilter: int = 8
+    layers: int = 18          # 18 | 30 (TT_general_imagenet.py:398-402)
+    a_bit: int = 2
+    num_classes: int = 1000
+    image_size: int = 224
+    groups: tuple = (1, 2, 4, 4)
+
+    @property
+    def p(self):
+        return self.nfilter * self.tfilter
+
+    def block_configs(self):
+        p = self.p
+        stages = [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)] \
+            if self.layers == 18 else \
+            [p, (2 * p, 2), (4 * p, 2), 4 * p, (8 * p, 2), 8 * p]
+        in_planes, cfgs = p, []
+        for s in stages:
+            out_planes = s if isinstance(s, int) else s[0]
+            stride = 1 if isinstance(s, int) else s[1]
+            cfgs.append(FloatMultiHeadConfig(
+                in_planes, out_planes, stride=stride, a_bit=self.a_bit,
+                groups=self.groups, variant=self.variant))
+            in_planes = out_planes
+        return cfgs
+
+    @property
+    def fcsize(self):
+        s = self.image_size // 2
+        s = (s + 6 - 7) // 2 + 1
+        h = w = s
+        c = self.p
+        for cfg in self.block_configs():
+            h, w = float_multihead_out_size(cfg, h, w)
+            c = cfg.out_planes
+        return (h // 2) * (w // 2) * c
+
+
+def init_tt_general_float(key, cfg: TTGeneralFloatConfig,
+                          dtype=jnp.float32):
+    blocks = cfg.block_configs()
+    keys = jax.random.split(key, len(blocks) + 2)
+    bn_p, bn_s = init_batch_norm(cfg.p, dtype)
+    params: dict[str, Any] = {
+        "stem_conv": init_conv2d(keys[0], 3, cfg.p, 7, bias=False,
+                                 dtype=dtype),
+        "stem_bn": bn_p,
+    }
+    state: dict[str, Any] = {"stem_bn": bn_s}
+    for i, (bcfg, k) in enumerate(zip(blocks, keys[1:-1])):
+        params[f"block{i}"], state[f"block{i}"] = init_float_multihead(
+            k, bcfg, dtype)
+    params["fc"] = init_linear(keys[-1], cfg.fcsize, cfg.num_classes,
+                               bias=True, dtype=dtype)
+    return params, state
+
+
+def tt_general_float_apply(params, state, cfg: TTGeneralFloatConfig, x,
+                           training=False, key=None):
+    new_state = {}
+    x = avg_pool(x, 2)
+    x = conv2d(params["stem_conv"], x, stride=2, padding=3)
+    # activation BEFORE the stem BN (TT_general_imagenet.py:404-409)
+    if cfg.a_bit > 1:
+        x = activation_quantize(x, cfg.a_bit)
+    else:
+        x = binarize01_act(x)
+    x, new_state["stem_bn"] = batch_norm(params["stem_bn"],
+                                         state["stem_bn"], x, training)
+    for i, bcfg in enumerate(cfg.block_configs()):
+        x, new_state[f"block{i}"] = float_multihead(
+            params[f"block{i}"], state[f"block{i}"], bcfg, x, training)
+    x = avg_pool(x, 2)
+    x = flatten(x)
+    return linear(params["fc"], x), new_state
