@@ -627,22 +627,22 @@ def cifar10lownoise_multi_sample(params, state, cfg, x, x_adv, eps: float,
     loss = jnp.zeros(())
 
     h = input_quantize(data, cfg.quant_step)
-    h, _ = batch_norm(params["bn0"], state["bn0"], h, training=False)
+    h, _ = batch_norm(params["bn0"], state["bn0"], h, training=training)
     h = activation_quantize(h, 2)
     h = bin_conv2d(params["conv1"], h, stride=2, padding=0,
                    binarizer="quant3", rounding=False)
     h, loss = multi_sample_heaviside(h, k, loss)
     h = conv2d(params["conv2"], h, stride=2, padding=0, groups=48)
-    h, _ = batch_norm(params["bn2"], state["bn2"], h, training=False)
+    h, _ = batch_norm(params["bn2"], state["bn2"], h, training=training)
     h = jax.nn.relu(h)
     h = conv2d(params["conv3"], h, stride=1, padding=0, groups=48)
-    h, _ = batch_norm(params["bn3"], state["bn3"], h, training=False)
+    h, _ = batch_norm(params["bn3"], state["bn3"], h, training=training)
     h, loss = multi_sample_heaviside(h, k, loss)
     h = flatten(h)
     logits = bin_linear(params["fc"], h, binarizer="ternary_mask",
                         positive=True)
     logits, _, _ = stats_bn(params["head_bn"], state["head_bn"], logits,
-                            training=False, use_scalar_scale=True)
+                            training=training, use_scalar_scale=True)
     return multi_sample_unpack_natural(logits, k), loss
 
 

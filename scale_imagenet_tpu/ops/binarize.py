@@ -98,6 +98,12 @@ def heaviside01_noisy(
                                    grad_scale)
 
 
+# trace-time observers of pre-activation values — the functional analog of
+# the reference's AbstractTensor/MultiSampleTensor duck-typing inside
+# Binarize01Act (robust/collect.py registers here)
+ACTIVATION_OBSERVERS: list = []
+
+
 def binarize01_act(
     x: jnp.ndarray,
     T: float = 0.0,
@@ -106,6 +112,8 @@ def binarize01_act(
 ) -> jnp.ndarray:
     """The user-facing activation: deterministic when ``T == 0`` (the shipped
     ImageNet models), noisy dead-zone rounding otherwise."""
+    if ACTIVATION_OBSERVERS:
+        ACTIVATION_OBSERVERS[-1].record(x)
     grad_scale = jnp.asarray(grad_scale, dtype=x.dtype)
     if T == 0.0:
         return heaviside01(x, grad_scale)

@@ -30,6 +30,7 @@ from .multisample import (
     multi_sample_unpack_natural,
 )
 from .regularizer import bias_regularizer_loss
+from .collect import multi_sample_forward, stability_loss_collector
 
 __all__ = [
     "Interval", "interval_from_eps_ball", "interval_linear",
@@ -38,4 +39,5 @@ __all__ = [
     "multi_sample_pack", "multi_sample_heaviside",
     "multi_sample_unpack_natural",
     "bias_regularizer_loss",
+    "multi_sample_forward", "stability_loss_collector",
 ]

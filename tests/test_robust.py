@@ -94,3 +94,29 @@ def test_bias_regularizer_matches_formula():
                                       thresh=0.25))
     want = 0.5 * float(jnp.sum(jax.nn.relu(-bias / scale - 0.25)))
     assert abs(got - want) < 1e-6
+
+
+def test_generic_multi_sample_forward_matches_manual():
+    """The collector-based forward equals the hand-written cifar10lownoise
+    multi-sample path (same pack, same per-activation losses)."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.models.ttnet_cifar import \
+        cifar10lownoise_multi_sample
+    from scale_imagenet_tpu.robust.collect import multi_sample_forward
+
+    m = get_model("cifar10lownoise")
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    key = jax.random.PRNGKey(2)
+
+    manual_logits, manual_loss = cifar10lownoise_multi_sample(
+        params, state, m.config, x, x, 2 / 255, key, training=False)
+
+    # same pack key path: collect.multi_sample_forward splits key the same
+    # way (pack_key first)
+    logits, loss = multi_sample_forward(m, params, state, x, x, 2 / 255,
+                                        key, training=False)
+    np.testing.assert_allclose(float(loss), float(manual_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(manual_logits), rtol=1e-4,
+                               atol=1e-4)
