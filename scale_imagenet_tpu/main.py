@@ -54,6 +54,10 @@ def parse_args(argv=None):
                    help="data-parallel mesh axis (-1: all devices)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="model-parallel mesh axis")
+    p.add_argument("--stability_eps", type=float, default=0.0,
+                   help="enable robust training: multi-sample stability "
+                        "loss at this perturbation radius")
+    p.add_argument("--stability_coeff", type=float, default=1e-4)
     p.add_argument("--native_data", action="store_true",
                    help="use the C++ libjpeg loader (6x faster decode; "
                         "plain-bilinear resize vs PIL's antialiased)")
@@ -181,7 +185,13 @@ def main(argv=None):
         state = shard_params(state, mesh)
         ts = TrainState(params, state, tx.init(params),
                         jnp.zeros((), jnp.int32))
-        train_step = make_train_step(model, tx, mesh)
+        if cfg.stability_eps > 0:
+            from .train.steps import make_robust_train_step
+
+            train_step = make_robust_train_step(
+                model, tx, cfg.stability_eps, cfg.stability_coeff, mesh)
+        else:
+            train_step = make_train_step(model, tx, mesh)
         ckpt = CheckpointManager(ckpt_dir)
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
 

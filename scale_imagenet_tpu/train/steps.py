@@ -93,3 +93,41 @@ def make_train_step(model, tx, mesh: Mesh | None = None):
                       batch_sharding(mesh, ndim=1), None),
         donate_argnums=(0,),
     )
+
+
+def make_robust_train_step(model, tx, eps: float, coeff: float,
+                           mesh: Mesh | None = None):
+    """Training step with the multi-sample activation-stability loss
+    (the reference's robust-training recipe: CE + coeff * rsloss,
+    netbin.py:710-724).  The natural batch doubles as its own adversarial
+    sample; plug in an attack upstream for adversarial training."""
+    from ..robust.collect import multi_sample_forward
+
+    def loss_fn(params, state, images, labels, key):
+        logits, sloss = multi_sample_forward(model, params, state, images,
+                                             images, eps, key)
+        _, new_state = model.apply(params, state, images, training=True,
+                                   key=key)
+        loss = cross_entropy(logits, labels) + coeff * sloss
+        return loss, (new_state, logits, sloss)
+
+    def train_step(ts: TrainState, images, labels, key):
+        (loss, (new_state, logits, sloss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params, ts.model_state, images,
+                                   labels, key)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
+        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        metrics = {"loss": loss, "top1": top1, "top5": top5,
+                   "stability_loss": sloss}
+        return TrainState(new_params, new_state, new_opt, ts.step + 1), \
+            metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(
+        train_step,
+        in_shardings=(None, batch_sharding(mesh),
+                      batch_sharding(mesh, ndim=1), None),
+        donate_argnums=(0,),
+    )
