@@ -122,6 +122,18 @@ class MultiHeadConfig:
     # (the TT_FHE_XSMALL / alexnet-stem flavor, TT_FHE_XSMALL.py:564-571)
     fuse: bool = True
 
+    def _groupsici(self, g: int, cin: int, cout: int) -> int:
+        """int(cin / g) like the reference, stepped down to a group count
+        that actually divides both channel counts — the reference's own
+        truncation produces invalid convs for several width/variant
+        combinations (e.g. the v2 family at p=64 stage 3: int(512/30)=17),
+        a construction-time crash there."""
+        gi = max(cin // g, 1)
+        while gi > 1 and (cin % gi or cout % gi
+                          or (self.t * cin) % gi):
+            gi -= 1
+        return gi
+
     def head_cfgs(self) -> dict:
         """BlockTTConfig per enabled conv head (1-indexed)."""
         g1, g2, g3, g4 = self.groups
@@ -130,17 +142,20 @@ class MultiHeadConfig:
             cfgs[1] = BlockTTConfig(
                 self.in_planes, self.in_planes, k=self.k12[0], t=self.t,
                 padding=self.pad12[0], stride=self.stride,
-                groupsici=self.in_planes // g1, T=self.T)
+                groupsici=self._groupsici(g1, self.in_planes,
+                                          self.in_planes), T=self.T)
         if g2 is not None:
             cfgs[2] = BlockTTConfig(
                 self.in_planes, self.in_planes, k=self.k12[1], t=self.t,
                 padding=self.pad12[1], stride=self.stride,
-                groupsici=self.in_planes // g2, T=self.T)
+                groupsici=self._groupsici(g2, self.in_planes,
+                                          self.in_planes), T=self.T)
         if g3 is not None:
             cfgs[3] = BlockTTConfig(
                 self.in_planes, self.in_planes, k=1, t=self.t,
                 padding=0, stride=1,
-                groupsici=self.in_planes // g3, T=self.T)
+                groupsici=self._groupsici(g3, self.in_planes,
+                                          self.in_planes), T=self.T)
         return cfgs
 
     @property
@@ -152,7 +167,8 @@ class MultiHeadConfig:
         cout = cin if self.last else self.out_mult * self.out_planes
         return BlockTTConfig(
             cin, cout, k=1, t=self.t, padding=0, stride=1,
-            groupsici=cin // self.groupvf, T=self.T_convf, last=self.last)
+            groupsici=self._groupsici(self.groupvf, cin, cout),
+            T=self.T_convf, last=self.last)
 
     @property
     def out_channels(self) -> int:
