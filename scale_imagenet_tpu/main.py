@@ -167,7 +167,6 @@ def main(argv=None):
         return top1, top5
 
     # train mode
-    from .parallel.sharding import shard_params
     from .runtime.checkpoint import CheckpointManager
     from .train import TrainState, make_optimizer, make_train_step
 
@@ -181,8 +180,9 @@ def main(argv=None):
                                   milestones=(30, 60, 90),
                                   steps_per_epoch=steps_per_epoch)
     with mesh:
-        params = shard_params(params, mesh)
-        state = shard_params(state, mesh)
+        # the shard_map train step keeps params replicated over both axes
+        params = jax.device_put(params)
+        state = jax.device_put(state)
         ts = TrainState(params, state, tx.init(params),
                         jnp.zeros((), jnp.int32))
         if cfg.stability_eps > 0:

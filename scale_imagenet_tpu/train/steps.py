@@ -12,7 +12,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.sharding import batch_sharding, replicate, \
     ttnet_param_shardings
@@ -53,7 +53,17 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None):
 
 
 def make_train_step(model, tx, mesh: Mesh | None = None):
-    """Returns ``train_step(ts: TrainState, images, labels, key)``."""
+    """Returns ``train_step(ts: TrainState, images, labels, key)``.
+
+    The multi-device version runs under shard_map — NOT GSPMD: XLA's SPMD
+    partitioner computes doubled weight gradients for grouped convolutions
+    when the mesh has a second (model) axis (verified with a minimal
+    repro: dense convs fine, grouped convs exactly n_model x).  shard_map
+    states the data-parallel semantics explicitly: per-shard forward/
+    backward on the local batch (per-process BN statistics — exactly the
+    reference's DDP behavior), then ``pmean`` of gradients and metrics
+    over 'data'; params replicated over both axes.
+    """
 
     def loss_fn(params, state, images, labels, key):
         logits, new_state = model.apply(params, state, images,
@@ -61,13 +71,22 @@ def make_train_step(model, tx, mesh: Mesh | None = None):
         loss = cross_entropy(logits, labels)
         return loss, (new_state, logits)
 
-    def train_step(ts: TrainState, images, labels, key):
+    def train_step(ts: TrainState, images, labels, key,
+                   axis: str | None = None):
         (loss, (new_state, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.model_state, images,
                                    labels, key)
+        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            top1 = jax.lax.pmean(top1, axis)
+            top5 = jax.lax.pmean(top5, axis)
+            # keep BN running stats identical on every shard (DDP keeps
+            # per-process stats; averaging them is strictly safer)
+            new_state = jax.lax.pmean(new_state, axis)
         updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
         new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
-        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
         metrics = {"loss": loss, "top1": top1, "top5": top5}
         return TrainState(new_params, new_state, new_opt, ts.step + 1), \
             metrics
@@ -75,24 +94,18 @@ def make_train_step(model, tx, mesh: Mesh | None = None):
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 
-    def constrain(tree):
-        """Pin every leaf to its TTnet sharding rule so GSPMD can't invent
-        invalid grouped-conv partitions for unannotated params."""
-        shardings = ttnet_param_shardings(tree, mesh)
-        return jax.tree.map(jax.lax.with_sharding_constraint, tree,
-                            shardings)
+    from functools import partial
 
-    def jitted(ts, images, labels, key):
-        ts = TrainState(*constrain(tuple(ts)))
-        new_ts, metrics = train_step(ts, images, labels, key)
-        return TrainState(*constrain(tuple(new_ts))), metrics
-
-    return jax.jit(
-        jitted,
-        in_shardings=(None, batch_sharding(mesh),
-                      batch_sharding(mesh, ndim=1), None),
-        donate_argnums=(0,),
+    mapped = jax.shard_map(
+        partial(train_step, axis="data"),
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), TrainState(0, 0, 0, 0)),
+                  P("data", None, None, None), P("data"), P()),
+        out_specs=(jax.tree.map(lambda _: P(), TrainState(0, 0, 0, 0)),
+                   P()),
+        check_vma=False,
     )
+    return jax.jit(mapped, donate_argnums=(0,))
 
 
 def make_robust_train_step(model, tx, eps: float, coeff: float,
@@ -111,13 +124,21 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
         loss = cross_entropy(logits, labels) + coeff * sloss
         return loss, (new_state, logits, sloss)
 
-    def train_step(ts: TrainState, images, labels, key):
+    def train_step(ts: TrainState, images, labels, key,
+                   axis: str | None = None):
         (loss, (new_state, logits, sloss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.model_state, images,
                                    labels, key)
+        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            sloss = jax.lax.pmean(sloss, axis)
+            top1 = jax.lax.pmean(top1, axis)
+            top5 = jax.lax.pmean(top5, axis)
+            new_state = jax.lax.pmean(new_state, axis)
         updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
         new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
-        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
         metrics = {"loss": loss, "top1": top1, "top5": top5,
                    "stability_loss": sloss}
         return TrainState(new_params, new_state, new_opt, ts.step + 1), \
@@ -125,9 +146,18 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
-    return jax.jit(
-        train_step,
-        in_shardings=(None, batch_sharding(mesh),
-                      batch_sharding(mesh, ndim=1), None),
-        donate_argnums=(0,),
+
+    from functools import partial
+
+    # shard_map, not GSPMD — see make_train_step's docstring (grouped-conv
+    # gradient doubling under the SPMD partitioner)
+    mapped = jax.shard_map(
+        partial(train_step, axis="data"),
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), TrainState(0, 0, 0, 0)),
+                  P("data", None, None, None), P("data"), P()),
+        out_specs=(jax.tree.map(lambda _: P(), TrainState(0, 0, 0, 0)),
+                   P()),
+        check_vma=False,
     )
+    return jax.jit(mapped, donate_argnums=(0,))

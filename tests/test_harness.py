@@ -108,3 +108,79 @@ def test_multistep_lr():
     assert abs(float(sched(59)) - 0.1) < 1e-6     # last step of epoch 29
     assert abs(float(sched(60)) - 0.01) < 1e-6    # first step of epoch 30
     assert abs(float(sched(121)) - 0.001) < 1e-6  # epoch 60+
+
+
+def test_sharded_train_step_matches_single_device():
+    """One optimizer step on the 4x2 mesh equals the single-device step.
+
+    Run in f64: partitioning changes f32 reduction order, which flips rare
+    Heaviside bits and reroutes STE gradients discretely — in f64 the flip
+    probability is negligible and the two steps must agree.
+    """
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.parallel.sharding import shard_params
+    from scale_imagenet_tpu.train import TrainState, make_optimizer, \
+        make_train_step
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _sharded_train_equiv(get_model, shard_params, TrainState,
+                             make_optimizer, make_train_step)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _sharded_train_equiv(get_model, shard_params, TrainState,
+                         make_optimizer, make_train_step):
+    model = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4,
+                      layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+    state = jax.tree.map(lambda a: a.astype(jnp.float64), state)
+    tx, _ = make_optimizer(lr=0.1, milestones=(100,))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (8, 224, 224, 3),
+                                jnp.float64)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 1000)
+    key = jax.random.PRNGKey(3)
+
+    # sharded path first: the train steps donate their TrainState, so each
+    # path gets its own copies of the initial buffers.  data=1 so every
+    # shard sees the full batch -> per-shard BN stats equal the global
+    # ones and the steps must agree exactly (at data>1 the semantics are
+    # the reference's per-process DDP BN, covered by the smoke below)
+    mesh = make_mesh(data=1, model=2)
+    with mesh:
+        sp = jax.tree.map(jnp.copy, params)
+        ss = jax.tree.map(jnp.copy, state)
+        ts1 = TrainState(sp, ss, tx.init(sp), jnp.zeros((), jnp.int32))
+        step = make_train_step(model, tx, mesh)
+        imgs = jax.device_put(images, batch_sharding(mesh))
+        lbls = jax.device_put(labels, batch_sharding(mesh, ndim=1))
+        multi_ts, multi_m = step(ts1, imgs, lbls, key)
+
+    # DDP smoke at data=4 x model=2
+    mesh2 = make_mesh(data=4, model=2)
+    with mesh2:
+        sp2 = jax.tree.map(jnp.copy, params)
+        ss2 = jax.tree.map(jnp.copy, state)
+        ts2 = TrainState(sp2, ss2, tx.init(sp2), jnp.zeros((), jnp.int32))
+        step2 = make_train_step(model, tx, mesh2)
+        _, m2 = step2(ts2, jax.device_put(images, batch_sharding(mesh2)),
+                      jax.device_put(labels, batch_sharding(mesh2, ndim=1)),
+                      key)
+    assert np.isfinite(float(m2["loss"]))
+
+    ts0 = TrainState(params, state, tx.init(params),
+                     jnp.zeros((), jnp.int32))
+    single_ts, single_m = make_train_step(model, tx)(ts0, images, labels,
+                                                     key)
+
+    np.testing.assert_allclose(float(single_m["loss"]),
+                               float(multi_m["loss"]), rtol=1e-5)
+    # updated params agree across every leaf
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(single_ts.params)[0],
+            jax.tree_util.tree_flatten_with_path(multi_ts.params)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8,
+            err_msg=str(path))
