@@ -175,11 +175,13 @@ def _register_extended():
         ttnet_v1_apply
 
     for v1name in V1_STAGES:
-        def mk1(v1name=v1name):
-            def build(nfilter=8, tfilter=8, num_classes=1000, a_bit=2, **_):
+        def mk1(v1name=v1name, image_size=224, num_classes_default=1000):
+            def build(nfilter=8, tfilter=8, a_bit=2,
+                      num_classes=num_classes_default, **_):
                 cfg = TTnetV1Config(name=v1name, nfilter=nfilter,
-                                    tfilter=tfilter,
-                                    num_classes=num_classes, a_bit=a_bit)
+                                    tfilter=tfilter, a_bit=a_bit,
+                                    num_classes=num_classes,
+                                    image_size=image_size)
                 return ModelDef(
                     name=v1name, config=cfg,
                     init=lambda key: init_ttnet_v1(key, cfg),
@@ -188,6 +190,11 @@ def _register_extended():
                 )
             return build
         reg[v1name] = mk1()
+        # the CIFAR clones from models/TT_general.py (same class names,
+        # 32x32 inputs, 10 classes)
+        cifar_name = v1name.replace("_imgnet", "") + "_cifar" \
+            if "_imgnet" in v1name else v1name + "_cifar"
+        reg[cifar_name] = mk1(image_size=32, num_classes_default=10)
 
     from .ttnet_general_float import TTGeneralFloatConfig, \
         init_tt_general_float, tt_general_float_apply

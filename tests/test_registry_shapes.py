@@ -15,9 +15,11 @@ from scale_imagenet_tpu.models import MODEL_REGISTRY, get_model
 _SMALL = dict(nfilter=4, tfilter=4)
 CASES = {}
 for _name in MODEL_REGISTRY:
-    if "imgnet" in _name or "imagenet" in _name or _name.startswith(
-            "resnet") and "cifar" not in _name or _name.startswith(
-            "TT_general") or _name.startswith("TT_vf"):
+    if "cifar" in _name.lower():
+        CASES[_name] = (dict(_SMALL), 32, 10)
+    elif "imgnet" in _name or "imagenet" in _name or _name.startswith(
+            "resnet") or _name.startswith("TT_general") \
+            or _name.startswith("TT_vf"):
         CASES[_name] = (dict(_SMALL), 224, 1000)
     else:
         CASES[_name] = (dict(_SMALL), 32, 10)
