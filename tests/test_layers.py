@@ -149,3 +149,43 @@ def test_bin_linear_pos_parity():
     jy = layers.bin_linear(params, jnp.asarray(x), binarizer="ternary_mask",
                            rounding=True, positive=True)
     np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-4, atol=1e-5)
+
+
+def test_stats_bn_eval_with_bn_parity():
+    """eval_with_bn: normalize by minibatch stats at eval WITHOUT updating
+    running stats (netbin.py:612-625)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from models.model_utils.netbin import BatchNormStatsCallbak
+
+    class Owner:
+        eval_with_bn = True
+        def on_bn_internals(self, bn, scale, bias):
+            pass
+
+    torch.manual_seed(5)
+    owner = Owner()  # keep alive: the BN holds only a weakref
+    tbn = BatchNormStatsCallbak(owner, 8)
+    with torch.no_grad():
+        tbn.weight.uniform_(0.5, 1.5)
+        tbn.bias.uniform_(-0.5, 0.5)
+        tbn.running_mean.uniform_(-0.2, 0.2)
+        tbn.running_var.uniform_(0.5, 1.5)
+    params = {"weight": jnp.array(tbn.weight.detach().numpy()),
+              "bias": jnp.array(tbn.bias.detach().numpy())}
+    state = {"running_mean": jnp.array(tbn.running_mean.numpy()),
+             "running_var": jnp.array(tbn.running_var.numpy())}
+    rm_before = tbn.running_mean.numpy().copy()
+
+    x = rand((4, 8, 5, 5), seed=11)
+    tbn.eval()
+    ty = tbn(torch.tensor(x)).detach().numpy()
+    jy, new_state, _ = layers.stats_bn(params, state,
+                                       jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                       training=False, eval_with_bn=True)
+    np.testing.assert_allclose(np.asarray(jy).transpose(0, 3, 1, 2), ty,
+                               rtol=1e-4, atol=1e-4)
+    # running stats untouched on both sides
+    np.testing.assert_array_equal(tbn.running_mean.numpy(), rm_before)
+    np.testing.assert_array_equal(np.asarray(new_state["running_mean"]),
+                                  np.asarray(state["running_mean"]))
