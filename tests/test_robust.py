@@ -120,3 +120,34 @@ def test_generic_multi_sample_forward_matches_manual():
     np.testing.assert_allclose(np.asarray(logits),
                                np.asarray(manual_logits), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_interval_loss_where_reference_cannot():
+    """The reference's own interval entry point is broken on its example
+    model: model_cifar10lownoise lacks the Flatten import (NameError at
+    construction) and, once patched, compute_act_stabilizing_loss_abstract
+    fails its features[-3]-is-Binarize01Act assert (netbin.py:703-707).
+    Our functional interval forward computes the loss for the same
+    architecture."""
+    import argparse
+
+    from models.model_utils import netbin, utils as ref_utils
+
+    netbin.Flatten = ref_utils.Flatten  # missing import in the reference
+    cfg = argparse.Namespace(dataset="CIFAR10", nchannel=3)
+    torch.manual_seed(0)
+    tm = netbin.model_cifar10lownoise(0.0625, cfg).eval()
+    with pytest.raises(AssertionError):
+        tm.compute_act_stabilizing_loss_abstract(torch.rand(2, 3, 32, 32),
+                                                 2 / 255)
+
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.models.ttnet_cifar import \
+        cifar10lownoise_interval_loss
+
+    m = get_model("cifar10lownoise")
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    loss = cifar10lownoise_interval_loss(params, state, m.config, x,
+                                         eps=2 / 255)
+    assert np.isfinite(float(loss)) and float(loss) > 0
