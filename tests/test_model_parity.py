@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from scale_imagenet_tpu.convert import import_ttnet_imagenet
-from scale_imagenet_tpu.models import get_model
+from scale_imagenet_tpu.models import get_model  # noqa: F401
 
 from _reference import enable_reference_imports
 
@@ -100,3 +100,32 @@ class TestTTnetSmallParity:
             h, w = multihead_out_size(bcfg, h, w)
             assert (tshape[2], tshape[3]) == (h, w), (tshape, h, w)
             assert tshape[1] == bcfg.out_channels
+
+
+def test_full_width_flagship_parity(x64):
+    """The exact shipped configuration — TT_vf_19lv3_imgnet_small with
+    p = nfilter*tfilter = 64, --layers 1 (main.py:47-50,148) — matches the
+    reference logits at full width (f64, batch 1)."""
+    from models.TT_general_imagenet_v2_small import TT_vf_19lv3_imgnet_small
+
+    cfg = argparse.Namespace(nfilter=8, tfilter=8, layers=1,
+                             groups=[1, None, 4, None])
+    torch.manual_seed(7)
+    tmodel = TT_vf_19lv3_imgnet_small(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    m = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
+    assert m.config.fcsize == tmodel.features[-1].lin1.in_features == 16384
+
+    params, state = import_ttnet_imagenet(sd, m.config)
+    params = _tree_to_f64(params)
+    state = _tree_to_f64(state)
+
+    rng = np.random.default_rng(123)
+    x = rng.uniform(-1.5, 1.5, (1, 3, 224, 224))
+    with torch.no_grad():
+        t_logits = tmodel(torch.tensor(x)).numpy()
+    j_logits, _ = m.apply(params, state,
+                          jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits, rtol=1e-5,
+                               atol=1e-6)
