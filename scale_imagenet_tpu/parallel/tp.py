@@ -19,7 +19,10 @@ the *entire block stack runs with zero model-axis communication*:
   after which the head runs replicated.
 
 GSPMD cannot express this (its partitioner rejects grouped-conv feature
-sharding); shard_map states it directly.  Data parallelism composes on the
+sharding); shard_map states it directly.  NB: vma checking must stay ON —
+with ``check_vma=False`` jax transposes the classifier ``psum`` to another
+psum, silently scaling every gradient (caught by the f64 equivalence
+test).  Data parallelism composes on the
 'data' axis: gradients are ``pmean``'d over it, and training BN moments
 are also pmean'd over 'data' (synchronized BN — the reference's DDP used
 per-process stats; eval numerics are identical either way).
@@ -130,8 +133,90 @@ def make_tp_eval_step(model, mesh: Mesh):
             in_specs=(pspecs[0], pspecs[1],
                       P("data", None, None, None), P("data")),
             out_specs=P(),
-            check_vma=False,
         )
         return jax.jit(mapped)(params, state, images, labels)
 
     return eval_step
+
+
+def make_tp_train_step(model, tx, mesh: Mesh):
+    """Channel-group tensor-parallel TRAINING step (shard_map).
+
+    Params stay channel-sharded over 'model' exactly as in TP eval — the
+    optimizer update runs shard-locally on each device's parameter slice.
+    Collectives: the classifier psum over 'model' (forward), its transpose
+    (backward, inserted by AD), and a gradient/metric/BN-state pmean over
+    'data'.  Channel-sharded gradients need no model-axis reduction (each
+    shard's slice is touched only by its own compute); replicated
+    classifier-head grads are identical across 'model' by construction.
+    """
+    from ..train.steps import TrainState
+    from ..train.losses import cross_entropy as _ce, accuracy_topk as _topk
+
+    lcfg = local_config(model.config, mesh.shape["model"])
+
+    def loss_fn(params, state, images, labels, key):
+        logits, new_state = _forward_local(params, state, lcfg, images,
+                                           training=True, key=key)
+        return _ce(logits, labels), (new_state, logits)
+
+    def step(ts, images, labels, key):
+        (loss, (new_state, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params, ts.model_state, images,
+                                   labels, key)
+        grads = jax.lax.pmean(grads, "data")
+        new_state = jax.lax.pmean(new_state, "data")
+        loss = jax.lax.pmean(loss, "data")
+        top1, top5 = _topk(logits, labels, topk=(1, 5))
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
+        metrics = {"loss": loss,
+                   "top1": jax.lax.pmean(top1, "data"),
+                   "top5": jax.lax.pmean(top5, "data")}
+        return TrainState(new_params, new_state, new_opt, ts.step + 1), \
+            metrics
+
+    pspecs = None
+
+    def train_step(ts, images, labels, key):
+        nonlocal pspecs
+        if pspecs is None:
+            pspecs = TrainState(
+                params=tp_param_specs(ts.params),
+                model_state=tp_param_specs(ts.model_state),
+                opt_state=_opt_specs(ts.opt_state, ts.params),
+                step=P(),
+            )
+        mapped = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(pspecs, P("data", None, None, None), P("data"), P()),
+            out_specs=(pspecs, P()),
+        )
+        return jax.jit(mapped, donate_argnums=(0,))(ts, images, labels,
+                                                    key)
+
+    return train_step
+
+
+def _opt_specs(opt_state, params):
+    """Optimizer-state specs: momentum buffers mirror the param tree specs;
+    everything else replicated."""
+    pspecs = tp_param_specs(params)
+
+    # walk: any subtree structurally equal to params (e.g. optax's
+    # momentum trace) gets the param specs; everything else replicates
+    def map_state(st):
+        try:
+            if jax.tree_util.tree_structure(st) == \
+                    jax.tree_util.tree_structure(params):
+                return pspecs
+        except Exception:
+            pass
+        if hasattr(st, "_fields"):  # NamedTuple (optax states)
+            return type(st)(*(map_state(getattr(st, f))
+                              for f in st._fields))
+        if isinstance(st, tuple):
+            return tuple(map_state(s) for s in st)
+        return jax.tree.map(lambda _: P(), st)
+
+    return map_state(opt_state)

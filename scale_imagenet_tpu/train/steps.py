@@ -103,7 +103,6 @@ def make_train_step(model, tx, mesh: Mesh | None = None):
                   P("data", None, None, None), P("data"), P()),
         out_specs=(jax.tree.map(lambda _: P(), TrainState(0, 0, 0, 0)),
                    P()),
-        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -158,6 +157,5 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
                   P("data", None, None, None), P("data"), P()),
         out_specs=(jax.tree.map(lambda _: P(), TrainState(0, 0, 0, 0)),
                    P()),
-        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))

@@ -62,3 +62,50 @@ def test_local_config_rejects_misaligned():
                       layers=0)  # p=16: /2 -> 8 < 16-channel groups
     with pytest.raises(ValueError):
         local_config(model.config, 2)
+
+
+def test_tp_train_step_matches_single_device():
+    """A full TP training step (channel-sharded params, shard-local
+    optimizer update) equals the single-device step in f64."""
+    from scale_imagenet_tpu.parallel.tp import make_tp_train_step
+    from scale_imagenet_tpu.train import TrainState, make_optimizer, \
+        make_train_step
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
+                          layers=0)
+        params, state = model.init(jax.random.PRNGKey(0))
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        state = jax.tree.map(lambda a: a.astype(jnp.float64), state)
+        tx, _ = make_optimizer(lr=0.1, milestones=(100,))
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (4, 224, 224, 3), jnp.float64)
+        labels = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 1000)
+        key = jax.random.PRNGKey(3)
+
+        mesh = make_mesh(data=1, model=2)
+        with mesh:
+            sp = shard_params_tp(jax.tree.map(jnp.copy, params), mesh)
+            ss = shard_params_tp(jax.tree.map(jnp.copy, state), mesh)
+            ts = TrainState(sp, ss, tx.init(sp), jnp.zeros((), jnp.int64))
+            step = make_tp_train_step(model, tx, mesh)
+            imgs = jax.device_put(images, NamedSharding(
+                mesh, P("data", None, None, None)))
+            lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+            tp_ts, tp_m = step(ts, imgs, lbls, key)
+
+        ts0 = TrainState(params, state, tx.init(params),
+                         jnp.zeros((), jnp.int64))
+        single_ts, single_m = make_train_step(model, tx)(ts0, images,
+                                                         labels, key)
+        np.testing.assert_allclose(float(tp_m["loss"]),
+                                   float(single_m["loss"]), rtol=1e-10)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(single_ts.params)[0],
+                jax.tree_util.tree_flatten_with_path(tp_ts.params)[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-11,
+                                       err_msg=str(path))
+    finally:
+        jax.config.update("jax_enable_x64", False)
