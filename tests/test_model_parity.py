@@ -129,3 +129,52 @@ def test_full_width_flagship_parity(x64):
                           jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(j_logits), t_logits, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_xsmall_variant_parity(x64):
+    """TT_vf_19lv3_imgnet_xsmall (k=2 heads, groups [1,1,4,1])."""
+    from models.TT_general_imagenet_v2_xsmall import \
+        TT_vf_19lv3_imgnet_xsmall
+
+    cfg = argparse.Namespace(nfilter=4, tfilter=4, layers=0,
+                             groups=[1, None, 4, None])
+    torch.manual_seed(21)
+    tmodel = TT_vf_19lv3_imgnet_xsmall(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    m = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4, layers=0)
+    assert m.config.fcsize == tmodel.features[-1].lin1.in_features
+    params, state = import_ttnet_imagenet(sd, m.config)
+    params, state = _tree_to_f64(params), _tree_to_f64(state)
+
+    rng = np.random.default_rng(22)
+    x = rng.uniform(-1.5, 1.5, (1, 3, 224, 224))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
+def test_v2_variant_parity(x64):
+    """TT_vf_19lv3_imgnet (asymmetric 6x5/5x6 kernels, groups 30) at
+    p = 60 — the only width where the reference's own int(cin/30) group
+    math is valid."""
+    from models.TT_general_imagenet_v2 import TT_vf_19lv3_imgnet
+
+    cfg = argparse.Namespace(nfilter=6, tfilter=10, layers=0,
+                             groups=[1, None, 4, None])
+    torch.manual_seed(23)
+    tmodel = TT_vf_19lv3_imgnet(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    m = get_model("ttnet_imagenet_v2", nfilter=6, tfilter=10, layers=0)
+    assert m.config.fcsize == tmodel.features[-1].lin1.in_features
+    params, state = import_ttnet_imagenet(sd, m.config)
+    params, state = _tree_to_f64(params), _tree_to_f64(state)
+
+    rng = np.random.default_rng(24)
+    x = rng.uniform(-1.5, 1.5, (1, 3, 224, 224))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
