@@ -63,7 +63,10 @@ def tp_param_specs(params) -> dict:
         names = [getattr(p, "key", None) for p in path]
         if "classifier" in names:
             if "lin1" in names and leaf.ndim == 2:
-                return P("model", None)     # row-parallel first matmul
+                # trailing None omitted: shard_map normalizes it away on
+                # outputs, and P('model', None) != P('model') as a jit
+                # cache key -> would retrace when outputs feed back in
+                return P("model")           # row-parallel first matmul
             return P()                       # head replicated
         if leaf.ndim == 4:                   # conv HWIO: shard outputs
             return P(None, None, None, "model")
@@ -119,22 +122,24 @@ def make_tp_eval_step(model, mesh: Mesh):
                               "data"),
         }
 
-    pspecs = None
-
-    def build(params, state):
-        nonlocal pspecs
-        pspecs = (tp_param_specs(params), tp_param_specs(state))
+    # specs depend on the param tree structure, so the shard_map+jit is
+    # built once on first call and cached — rebuilding it per call would
+    # make every step a fresh closure and retrace/recompile each time
+    jitted = None
 
     def eval_step(params, state, images, labels):
-        if pspecs is None:
-            build(params, state)
-        mapped = jax.shard_map(
-            step, mesh=mesh,
-            in_specs=(pspecs[0], pspecs[1],
-                      P("data", None, None, None), P("data")),
-            out_specs=P(),
-        )
-        return jax.jit(mapped)(params, state, images, labels)
+        nonlocal jitted
+        if jitted is None:
+            pspecs = (tp_param_specs(params), tp_param_specs(state))
+            mapped = jax.shard_map(
+                step, mesh=mesh,
+                in_specs=(pspecs[0], pspecs[1],
+                          P("data", None, None, None), P("data")),
+                out_specs=P(),
+            )
+            jitted = jax.jit(mapped)
+            eval_step._jitted = jitted   # exposed for cache-hit tests
+        return jitted(params, state, images, labels)
 
     return eval_step
 
@@ -176,26 +181,49 @@ def make_tp_train_step(model, tx, mesh: Mesh):
         return TrainState(new_params, new_state, new_opt, ts.step + 1), \
             metrics
 
-    pspecs = None
+    # build shard_map+jit once on first call (specs need the tree
+    # structure); caching the jitted callable is what makes step 2+ a
+    # cache hit instead of a full retrace/recompile
+    jitted = None
 
     def train_step(ts, images, labels, key):
-        nonlocal pspecs
-        if pspecs is None:
+        nonlocal jitted
+        if jitted is None:
             pspecs = TrainState(
                 params=tp_param_specs(ts.params),
                 model_state=tp_param_specs(ts.model_state),
                 opt_state=_opt_specs(ts.opt_state, ts.params),
                 step=P(),
             )
-        mapped = jax.shard_map(
-            step, mesh=mesh,
-            in_specs=(pspecs, P("data", None, None, None), P("data"), P()),
-            out_specs=(pspecs, P()),
-        )
-        return jax.jit(mapped, donate_argnums=(0,))(ts, images, labels,
-                                                    key)
+            mapped = jax.shard_map(
+                step, mesh=mesh,
+                in_specs=(pspecs, P("data", None, None, None), P("data"),
+                          P()),
+                out_specs=(pspecs, P()),
+            )
+            jitted = jax.jit(mapped, donate_argnums=(0,))
+            train_step._jitted = jitted  # exposed for cache-hit tests
+        return jitted(ts, images, labels, key)
 
     return train_step
+
+
+def shard_train_state_tp(ts, mesh: Mesh):
+    """Place every TrainState leaf with the exact shardings the TP train
+    step produces, so the FIRST call already has the steady-state jit
+    signature (otherwise uncommitted host scalars like ``ts.step`` retrace
+    the step once when the sharded outputs are fed back in)."""
+    from ..train.steps import TrainState
+
+    specs = TrainState(
+        params=tp_param_specs(ts.params),
+        model_state=tp_param_specs(ts.model_state),
+        opt_state=_opt_specs(ts.opt_state, ts.params),
+        step=P(),
+    )
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        ts, specs)
 
 
 def _opt_specs(opt_state, params):

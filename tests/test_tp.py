@@ -57,6 +57,42 @@ def test_tp_matches_single_device(model_and_data):
                                    rtol=1e-4, atol=1e-4), k
 
 
+def test_tp_steps_do_not_retrace(model_and_data):
+    """Second call of the TP eval/train steps must be a jit cache hit —
+    round 1 rebuilt the shard_map closure per call, so every step
+    retraced + recompiled the full TP program."""
+    from scale_imagenet_tpu.parallel.tp import make_tp_train_step
+    from scale_imagenet_tpu.train import TrainState, make_optimizer
+
+    model, params, state, images, labels = model_and_data
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sp = shard_params_tp(params, mesh)
+        ss = shard_params_tp(state, mesh)
+        imgs = jax.device_put(images, NamedSharding(
+            mesh, P("data", None, None, None)))
+        lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+
+        step = make_tp_eval_step(model, mesh)
+        step(sp, ss, imgs, lbls)
+        assert step._jitted._cache_size() == 1
+        step(sp, ss, imgs, lbls)
+        assert step._jitted._cache_size() == 1  # no retrace
+
+        from scale_imagenet_tpu.parallel.tp import shard_train_state_tp
+
+        tx, _ = make_optimizer(lr=0.1, milestones=(100,))
+        ts = shard_train_state_tp(
+            TrainState(sp, ss, tx.init(sp), jnp.zeros((), jnp.int32)),
+            mesh)
+        tstep = make_tp_train_step(model, tx, mesh)
+        key = jax.random.PRNGKey(9)
+        ts, _ = tstep(ts, imgs, lbls, key)
+        assert tstep._jitted._cache_size() == 1
+        ts, _ = tstep(ts, imgs, lbls, key)
+        assert tstep._jitted._cache_size() == 1  # no retrace
+
+
 def test_local_config_rejects_misaligned():
     model = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4,
                       layers=0)  # p=16: /2 -> 8 < 16-channel groups
