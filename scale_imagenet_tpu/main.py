@@ -157,7 +157,11 @@ def main(argv=None):
         print(f"eval dataset: {len(ds)} images / {len(ds.classes)} classes")
         loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
                             num_workers=cfg.num_workers, drop_last=True)
-        eval_step = make_eval_step(model, mesh)
+        # key: required by stochastic-eval models (T_test != 0, e.g.
+        # tt_certif); T=0 models never consume it.  A fresh subkey is
+        # folded in per batch inside the step.
+        eval_step = make_eval_step(model, mesh,
+                                   key=jax.random.PRNGKey(cfg.seed))
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
         top1, top5, loss = evaluate(
             eval_step, params, state,

@@ -31,25 +31,43 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None):
 
     ``key``: optional PRNG key for models whose eval forward is stochastic
     (noisy dead-zone Heaviside with T != 0, e.g. tt_certif) — the reference
-    applies that noise at eval time too.
+    applies that noise at eval time too, drawing FRESH randomness per
+    forward (torch's global RNG advances every batch).  We mirror that by
+    folding a per-call counter into ``key``, so each batch sees a distinct
+    noise pattern while the jitted program stays cached.
     """
 
-    def eval_step(params, state, images, labels):
+    def step_fn(params, state, images, labels, step_key):
         logits, _ = model.apply(params, state, images, training=False,
-                                key=key)
+                                key=step_key)
         loss = cross_entropy(logits, labels)
         top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
         return {"loss": loss, "top1": top1, "top5": top5,
                 "n": jnp.asarray(images.shape[0], jnp.float32)}
 
     if mesh is None:
-        return jax.jit(eval_step)
-    return jax.jit(
-        eval_step,
-        in_shardings=(None, None, batch_sharding(mesh),
-                      batch_sharding(mesh, ndim=1)),
-        out_shardings=replicate(mesh),
-    )
+        jitted = jax.jit(step_fn)
+    else:
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(None, None, batch_sharding(mesh),
+                          batch_sharding(mesh, ndim=1), None),
+            out_shardings=replicate(mesh),
+        )
+
+    if key is None:
+        def eval_step(params, state, images, labels):
+            return jitted(params, state, images, labels, None)
+    else:
+        from itertools import count
+        counter = count()
+
+        def eval_step(params, state, images, labels):
+            return jitted(params, state, images, labels,
+                          jax.random.fold_in(key, next(counter)))
+
+    eval_step._jitted = jitted
+    return eval_step
 
 
 def make_train_step(model, tx, mesh: Mesh | None = None):

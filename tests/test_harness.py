@@ -78,6 +78,28 @@ def test_sharded_eval_step_matches_single_device():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_stochastic_eval_fresh_noise_per_batch():
+    """T != 0 models (noisy dead-zone Heaviside) must see DIFFERENT noise
+    on every eval batch — the reference's torch global RNG advances each
+    forward.  Round 1 closed over one key, giving every batch the
+    identical noise pattern."""
+    from scale_imagenet_tpu.models import get_model
+
+    model = get_model("tt_certif")  # T=0.07 stem / T=0.16 blocks
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 10)
+
+    step = make_eval_step(model, key=jax.random.PRNGKey(7))
+    m1 = step(params, state, images, labels)
+    m2 = step(params, state, images, labels)
+    assert float(m1["loss"]) != float(m2["loss"])  # fresh noise per call
+    assert step._jitted._cache_size() == 1         # without retracing
+    # (key=None determinism is covered by
+    # test_sharded_eval_step_matches_single_device on a T=0 model;
+    # tt_certif itself REQUIRES a key at eval — T_test != 0.)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from scale_imagenet_tpu.runtime.checkpoint import load_checkpoint, \
         save_checkpoint
