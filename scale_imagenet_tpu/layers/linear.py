@@ -78,10 +78,17 @@ def bin_linear(
     binarizer: str = "ternary_mask",
     rounding: bool = True,
     positive: bool = False,
+    abs_weight: bool = False,
 ) -> jnp.ndarray:
-    """BinLinear / BinLinearPos (netbin.py:467-535)."""
+    """BinLinear / BinLinearPos (netbin.py:467-535); ``abs_weight=True`` is
+    BinLinearPosv2 (TT_certif.py:477-484): the binarized weight is replaced
+    by its absolute value before the matmul (the pos-bias term is then
+    identically zero, but is kept for structural parity)."""
     w = binarize_weights(binarizer, params["weight"],
                          params.get("weight_mask"))
+    if abs_weight:
+        w = jnp.abs(w)
+        positive = True
     bias = bias_from_bin_weight(w) if positive else None
     y = linear(params, x, weight=w, bias=bias)
     if rounding:

@@ -65,7 +65,10 @@ def classifier_scale_new(params, state, x, non_lin: int, training=False):
                            linear(params["lin1"], x1), training)
     x2, bn2_s = batch_norm(params["bn2"], state["bn2"],
                            linear(params["lin2"], x2), training)
-    x1 = polynome_act(x1)
+    # the poly branch uses TT_FHE_SMALL's own Polynome_ACT, whose quadratic
+    # term is sliced to the first 160 features (TT_FHE_SMALL.py:37) — a
+    # no-op at the default inter=50, kept for exactness at wider heads
+    x1 = polynome_act(x1, square_features=160)
     xf = jnp.concatenate([x1, x2], axis=-1)
     y, bnf_s = batch_norm(params["bnvf"], state["bnvf"],
                           linear(params["linvf"], xf), training)

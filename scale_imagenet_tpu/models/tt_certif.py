@@ -148,6 +148,10 @@ class TTCertifConfig:
     image_size: int = 32
     T: float = 0.07
     T_block: float = 0.16
+    # "linear" (the shipped head, TT_certif.py:524) or "binpos_v2" — the
+    # abs-weight BinLinearPosv2 head the reference defines as the
+    # alternative (TT_certif.py:477-484)
+    head: str = "linear"
 
     @property
     def p(self):
@@ -185,8 +189,14 @@ def init_tt_certif(key, cfg: TTCertifConfig, dtype=jnp.float32):
     for i, (bcfg, k) in enumerate(zip(blocks, keys[:-1])):
         params[f"block{i}"], state[f"block{i}"] = init_certif_block(
             k, bcfg, dtype)
-    params["fc"] = init_linear(keys[-1], cfg.fcsize, cfg.num_classes,
-                               bias=True, dtype=dtype)
+    if cfg.head == "binpos_v2":
+        from ..layers.linear import init_bin_linear
+
+        params["fc"] = init_bin_linear(keys[-1], cfg.fcsize,
+                                       cfg.num_classes, dtype=dtype)
+    else:
+        params["fc"] = init_linear(keys[-1], cfg.fcsize, cfg.num_classes,
+                                   bias=True, dtype=dtype)
     return params, state
 
 
@@ -206,4 +216,8 @@ def tt_certif_apply(params, state, cfg: TTCertifConfig, x, training=False,
         x, new_state[f"block{i}"] = certif_block(
             params[f"block{i}"], state[f"block{i}"], bcfg, x, training, bk)
     x = flatten(x)
+    if cfg.head == "binpos_v2":
+        from ..layers.linear import bin_linear
+
+        return bin_linear(params["fc"], x, abs_weight=True), new_state
     return linear(params["fc"], x), new_state

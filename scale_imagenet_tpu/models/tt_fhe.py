@@ -48,6 +48,13 @@ FHE_BLOCK_VARIANTS = {
 #   "two_bn": lin(fc,100,nb) -> BN -> lin(100,10,nb) -> BN   (TT_FHE_SMALL)
 #   "plain":  lin(fc,100,b)  -> BN -> lin(100,10,b)          (TT_FHE_small)
 #   "scale":  lin(fc,100,nb) -> BN -> [poly] -> lin(100,10,b) (Classifier_scale)
+#   "scale_new": split head — first non_lin features through a poly branch,
+#     the rest through a linear branch, concat -> lin -> BN
+#     (Classifier_scale_new, TT_FHE_SMALL.py:630-654; the reference defines
+#     it unwired — registered here as the _polyhead variant)
+# act styles: "heaviside" (default) or "bireal" — the learnable-scale/shift
+#   Bi-Real sign stem activation (BinaryActivation, TT_FHE_SMALL.py:145-174;
+#   defined in every FHE file as the alternative activation)
 FHE_MODELS = {
     "TT_FHE_SMALL": dict(variant="fhe_v3", k=5, pad=2, T=0.0, T_block=0.0,
                          pool="max", classifier="two_bn", poly=False),
@@ -58,6 +65,14 @@ FHE_MODELS = {
                           poly=False),
     "TT_FHE_ref": dict(variant=None, k=5, pad=2, T=0.0, T_block=0.0,
                        pool="max", classifier="scale", poly=True),
+    "TT_FHE_SMALL_polyhead": dict(variant="fhe_v3", k=5, pad=2, T=0.0,
+                                  T_block=0.0, pool="max",
+                                  classifier="scale_new", poly=True,
+                                  inter=50, non_lin=960),
+    "TT_FHE_SMALL_bireal": dict(variant="fhe_v3", k=5, pad=2, T=0.0,
+                                T_block=0.0, pool="max",
+                                classifier="two_bn", poly=False,
+                                act="bireal"),
 }
 
 
@@ -113,10 +128,23 @@ def init_tt_fhe(key, cfg: TTFHEConfig, dtype=jnp.float32):
     }
     state: dict[str, Any] = {}
     params["stem_bn"], state["stem_bn"] = init_batch_norm(cfg.p, dtype)
+    if spec.get("act") == "bireal":
+        from ..ops.binarize import init_bireal_act
+
+        params["stem_act"] = init_bireal_act(dtype)
     for i, (bcfg, bk) in enumerate(zip(blocks, keys[1:-2])):
         params[f"block{i}"], state[f"block{i}"] = init_multihead(
             bk, bcfg, dtype)
     style = spec["classifier"]
+    if style == "scale_new":
+        from .classifier import init_classifier_scale_new
+
+        params["classifier"], state["classifier"] = \
+            init_classifier_scale_new(
+                keys[-1], cfg.fcsize, out_features=cfg.num_classes,
+                inter=spec.get("inter", cfg.inter),
+                non_lin=spec.get("non_lin", 960), dtype=dtype)
+        return params, state
     lin1_bias = style == "plain"
     lin2_bias = style in ("plain", "scale")
     params["lin1"] = init_linear(keys[-2], cfg.fcsize, cfg.inter,
@@ -142,13 +170,26 @@ def tt_fhe_apply(params, state, cfg: TTFHEConfig, x, training=False,
     k0 = None
     if key is not None:
         key, k0 = jax.random.split(key)
-    x = binarize01_act(x, T=spec["T"], key=k0)
+    if spec.get("act") == "bireal":
+        from ..ops.binarize import bireal_act
+
+        x = bireal_act(x, params["stem_act"]["alpha"],
+                       params["stem_act"]["beta"])
+    else:
+        x = binarize01_act(x, T=spec["T"], key=k0)
     for i, bcfg in enumerate(cfg.block_configs()):
         bk = None if key is None else jax.random.fold_in(key, i)
         x, new_state[f"block{i}"] = multihead_block(
             params[f"block{i}"], state[f"block{i}"], bcfg, x, training, bk)
     x = max_pool(x, 2) if spec["pool"] == "max" else avg_pool(x, 2)
     x = flatten(x)
+    if spec["classifier"] == "scale_new":
+        from .classifier import classifier_scale_new
+
+        y, new_state["classifier"] = classifier_scale_new(
+            params["classifier"], state["classifier"], x,
+            non_lin=spec.get("non_lin", 960), training=training)
+        return y, new_state
     x = linear(params["lin1"], x)
     x, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], x,
                                      training)

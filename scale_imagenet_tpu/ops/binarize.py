@@ -98,6 +98,48 @@ def heaviside01_noisy(
                                    grad_scale)
 
 
+@jax.custom_vjp
+def _bireal_sign(y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sign(y)
+
+
+def _bireal_sign_fwd(y):
+    return jnp.sign(y), y
+
+
+def _bireal_sign_bwd(y, g):
+    # piecewise-polynomial surrogate d/dy of the Bi-Real clip function
+    # (TT_FHE_SMALL.py:156-168): -1 | y^2+2y | -y^2+2y | 1  on the pieces
+    # y<-1 | [-1,0) | [0,1) | >=1
+    grad = jnp.where(
+        y < -1.0, 0.0,
+        jnp.where(y < 0.0, 2.0 * y + 2.0,
+                  jnp.where(y < 1.0, -2.0 * y + 2.0, 0.0)))
+    return (grad.astype(g.dtype) * g,)
+
+
+_bireal_sign.defvjp(_bireal_sign_fwd, _bireal_sign_bwd)
+
+
+def bireal_act(x: jnp.ndarray, alpha: jnp.ndarray,
+               beta: jnp.ndarray) -> jnp.ndarray:
+    """Bi-Real-style sign activation with learnable scale/shift
+    (``BinaryActivation``, TT_FHE_SMALL.py:145-174).
+
+    Forward: ``alpha * (sign((x - beta) / alpha) + beta)``; backward through
+    the piecewise-polynomial surrogate of Bi-Real-net.  ``alpha``/``beta``
+    receive ordinary autodiff gradients through the outer affine and the
+    surrogate, exactly as torch autograd composes them in the reference.
+    """
+    y = (x - beta) / alpha
+    return alpha * (_bireal_sign(y) + beta)
+
+
+def init_bireal_act(dtype=jnp.float32) -> dict:
+    """Learnable params: alpha=1, beta=0 (TT_FHE_SMALL.py:151-153)."""
+    return {"alpha": jnp.ones((), dtype), "beta": jnp.zeros((), dtype)}
+
+
 # trace-time observers of pre-activation values — the functional analog of
 # the reference's AbstractTensor/MultiSampleTensor duck-typing inside
 # Binarize01Act (robust/collect.py registers here)

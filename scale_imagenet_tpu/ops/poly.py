@@ -19,10 +19,16 @@ def polynome_act(
     gamma: float = 0.09,
     square_features: int | None = None,
 ) -> jnp.ndarray:
-    if square_features is None:
+    if square_features is None or square_features >= x.shape[-1]:
+        # the reference's slice is a no-op whenever width <= slice size
+        # (its only live call site, Classifier_scale_new's inter=50 branch,
+        # is in this regime)
         return alpha + beta * x + gamma * x * x
     # quadratic term restricted to the first ``square_features`` features
-    # (feature axis is last in this framework's layout)
+    # (feature axis is last in this framework's layout).  Divergence note:
+    # for width > slice the reference BROADCAST-CRASHES (adding (N, 160) to
+    # (N, width)); we implement the evident intent — quadratic on the
+    # leading slice, linear elsewhere.
     sq = x[..., :square_features]
     return alpha + beta * x + gamma * (
         jnp.pad(sq * sq, [(0, 0)] * (x.ndim - 1)
