@@ -120,3 +120,44 @@ def cifar_train_transform(img, rng=None) -> np.ndarray:
     left = rng.randint(0, arr.shape[1] - 32)
     arr = arr[top:top + 32, left:left + 32]
     return _normalize(arr, IMAGENET_MEAN, IMAGENET_STD)
+
+
+# ---------------------------------------------------------------------------
+# make_dataset_loader transforms (netbin.py:961-1061): MNIST/CIFAR10/Tiny
+# with per-nchannel variants — grayscale when nchannel == 1; Tiny training
+# adds RandomRotation(20) + HFlip(0.5).  All are bare ToTensor (NO
+# normalization — the reference keeps those lines commented out).
+
+def _to_float_hwc(img) -> np.ndarray:
+    """ToTensor preserving the channel count: 'L' images stay 1-channel
+    (unlike _to_float_chw_last, which expands to 3 for the RGB pipelines)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def to_tensor_transform(img) -> np.ndarray:
+    """torchvision ToTensor in HWC layout: float32 in [0,1]."""
+    return _to_float_hwc(img)
+
+
+def grayscale_transform(img) -> np.ndarray:
+    """Grayscale(num_output_channels=1) + ToTensor: PIL 'L' (ITU-R 601-2
+    luma, matching torchvision) -> (H, W, 1) float32."""
+    return _to_float_hwc(img.convert("L"))
+
+
+def tiny_train_transform(img, rng=None, nchannel: int = 3) -> np.ndarray:
+    """RandomRotation(20) + RandomHorizontalFlip(0.5) + ToTensor
+    (netbin.py:997-1027); grayscale first when nchannel == 1 (the reference
+    orders Grayscale before the rotation)."""
+    rng = rng or _random
+    if nchannel == 1:
+        img = img.convert("L")
+    # torchvision RandomRotation: angle ~ U(-20, 20), NEAREST, expand=False
+    img = img.rotate(rng.uniform(-20.0, 20.0),
+                     resample=Image.NEAREST, expand=False)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return _to_float_hwc(img)

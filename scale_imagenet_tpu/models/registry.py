@@ -218,6 +218,29 @@ def _register_extended():
             return build
         reg[gname] = mkg()
 
+    from .ttnet_general_float import TTGeneralCorrectBNConfig, \
+        init_tt_general_correctbn, tt_general_correctbn_apply
+
+    def mk_correctbn(name, image_size):
+        def build(nfilter=8, tfilter=6, layers=18, a_bit=2,
+                  num_classes=10, **_):
+            cfg = TTGeneralCorrectBNConfig(
+                nfilter=nfilter, tfilter=tfilter, layers=layers,
+                a_bit=a_bit, num_classes=num_classes,
+                image_size=image_size)
+            return ModelDef(
+                name=name, config=cfg,
+                init=lambda key: init_tt_general_correctbn(key, cfg),
+                apply=lambda p, s, x, training=False, key=None:
+                    tt_general_correctbn_apply(p, s, cfg, x, training, key),
+            )
+        return build
+    # ImageNet file variant (crashes as shipped at 224 — reconciled here)
+    reg["TT_general_correctBN"] = mk_correctbn("TT_general_correctBN", 224)
+    # CIFAR twin (TT_general.py:558) — runnable in the reference at p%12==0
+    reg["TT_general_correctBN_cifar"] = mk_correctbn(
+        "TT_general_correctBN_cifar", 32)
+
     reg["model_general"] = _simple("model_general", ModelGeneralConfig,
                                    init_model_general, model_general_apply,
                                    returns_aux=True)

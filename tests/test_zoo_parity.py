@@ -118,3 +118,65 @@ def test_dorefa_resnet18_parity(x64):
         ty = tmodel(torch.tensor(x)).numpy()
     jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
+def test_tt_general_correctbn_cifar_parity(x64):
+    """TT_general_correctBN CIFAR twin (TT_general.py:558-615) at p=48,
+    groups (1,2,4,None) — the only regime where the reference runs (its
+    default groups crash, and p must satisfy %12==0 for groupvf)."""
+    from models.TT_general import TT_general_correctBN
+
+    cfg = argparse.Namespace(nfilter=8, tfilter=6, layers=18, Abit_inter=2,
+                             groups=[1, 2, 4, None])
+    torch.manual_seed(4)
+    tmodel = TT_general_correctBN(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_general_correctBN_cifar", nfilter=8, tfilter=6,
+                  layers=18, a_bit=2)
+    params, state = {}, {}
+    params["stem_conv"] = _conv_p(sd, "features.0")
+    params["stem_bn"], state["stem_bn"] = _bn_ps(sd, "features.1")
+    for i in range(4):
+        bp, bs = {}, {}
+        for ours, theirs in (("conv2", "Block_conv2"),
+                             ("conv3", "Block_conv3"),
+                             ("convf", "Block_convf")):
+            bp[ours], bs[ours] = _block_tt_ps(
+                sd, f"features.{3 + i}.{theirs}")
+        params[f"block{i}"], state[f"block{i}"] = bp, bs
+    params["fc1"] = {"weight": jnp.array(sd["features.9.weight"].T),
+                     "bias": jnp.array(sd["features.9.bias"])}
+    params["fc2"] = {"weight": jnp.array(sd["features.10.weight"].T),
+                     "bias": jnp.array(sd["features.10.bias"])}
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[9].in_features
+
+
+def test_tt_general_correctbn_imagenet_divergence():
+    """The ImageNet TT_general_correctBN crashes as shipped (first stride-1
+    block: identity head W=56 vs conv heads 57, no fixup entry); ours
+    reconciles generically and runs at 224."""
+    from models.TT_general_imagenet import TT_general_correctBN as TRef
+
+    cfg = argparse.Namespace(nfilter=8, tfilter=6, layers=18, Abit_inter=2,
+                             groups=[1, 2, 4, None])
+    with pytest.raises(RuntimeError):
+        TRef(cfg)  # linear_input_neurons dummy forward crashes at cat()
+
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_general_correctBN", nfilter=8, tfilter=6)
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    logits, _ = m.apply(params, state, x)
+    assert logits.shape == (1, 10)
