@@ -12,6 +12,14 @@ Fidelity notes (all verifiable against /root/reference):
 * ``Block_resnet_multihead_general_BN_vf_imgnet`` (TT_vf_19lv2_imgnet,
   the "BEST" v1 model per main.py:137) is reproduced exactly, including
   its crop table (TT_general_imagenet.py:867-872).
+* The vf_pad / vf_17l / vf_7x ablation blocks carry their EXACT fixup
+  tables (pad0 fixups :952-963, 17l crops :1044-1053, 7x crops
+  :1131-1137) — block-level f64 parity tests at every table-covered
+  shape (tests/test_v1_parity.py).  The three top-level models
+  (TT_vf_18l_pad / TT_vf_17l / TT_vf_unique_7_x) crash as shipped at
+  their own 224 input (torch.cat size mismatch at shapes the tables do
+  not cover — verified empirically); here the generic reconcile below
+  keeps them runnable.
 * Several sibling classes are broken as shipped (e.g.
   ``..._BN_vf_small_v2_imgnet`` concatenates 3 heads at stride 2 into a
   4-head fused conv, TT_general_imagenet.py:777-786) — for those, heads
@@ -61,26 +69,60 @@ def block_resnet_bn(params, state, cfg: BlockResnetConfig, x,
     return out, {"bn1": bn1_s, "bn2": bn2_s}
 
 
-# variant -> head kernel/pad specs, fused-group divisor, crop table
+# variant -> head kernel/pad specs, fused-group divisor, fixup style.
+# ``heads`` lists the conv heads (head 4 — identity / ZeroPad(1)+AvgPool(2)
+# at stride 2 — is always present).
 V1_VARIANTS = {
     "vf_imgnet": dict(ks=(7, 4, 2), pads=(3, 2, 1), groupvf=8,
-                      groups=(1, 2, 4)),
+                      groups=(1, 2, 4), fixup="imgnet"),
     "vf_small_imgnet": dict(ks=(4, 3, 2), pads=(2, 1, 1), groupvf=4,
                             groups=(1, 2, 4)),
     "vf_smallv2_imgnet": dict(ks=(4, 3, 2), pads=(2, 1, 1), groupvf=4,
                               groups=(1, 2, 4)),
     "vf_64": dict(ks=(8, 4, 2), pads=(4, 2, 1), groupvf=12,
                   groups=(1, 2, 4)),
+    # TT_general_imagenet.py:973-1057 (TT_vf_17l): crop out2/3/4 at
+    # stride 1 and at stride-2 widths 16/13/10/6
     "vf_17l": dict(ks=(7, 4, 2), pads=(3, 2, 1), groupvf=8,
-                   groups=(1, 2, 4)),
+                   groups=(1, 2, 4), fixup="17l"),
+    # TT_general_imagenet.py:883-971 (TT_vf_18l_pad): ZeroPad2d((1,0,1,0))
+    # fixups on the identity/k7 heads instead of crops
+    "vf_pad": dict(ks=(7, 4, 2), pads=(3, 2, 1), groupvf=8,
+                   groups=(1, 2, 4), fixup="pad"),
+    # TT_general_imagenet.py:1059-1143 (TT_vf_unique_7_x): heads 1 (k=7)
+    # and 4 only, cpt=2 fused block over 2*in channels
+    "vf_7x": dict(ks=(7,), pads=(3,), groupvf=8, groups=(1,),
+                  heads=(1,), fixup="7x"),
 }
 
 
-def _crops_vf_imgnet(xw: int) -> tuple:
-    """TT_general_imagenet.py:867-872: crop heads 2 and 3 at 56/30/16."""
-    if xw in (56, 30, 16):
-        return (2, 3)
-    return ()
+def _fixups_v1(fixup: str | None, stride: int, xw: int) -> tuple:
+    """Exact per-variant shape-fixup tables -> (crop_heads, pad0_heads).
+
+    ``pad0`` is ZeroPad2d((1, 0, 1, 0)) — one pixel top-left.  Derived
+    line-by-line from the reference forwards cited in V1_VARIANTS; at
+    shapes not in a table the reference torch.cat crashes (all three
+    ablation models crash at their own 224 input — verified empirically),
+    and the caller's generic reconcile takes over.
+    """
+    if fixup == "imgnet":
+        # TT_general_imagenet.py:867-872: crop heads 2+3 at 56/30/16
+        return ((2, 3) if xw in (56, 30, 16) else ()), ()
+    if fixup == "17l":
+        if stride == 1 or (stride == 2 and xw in (16, 13, 10, 6)):
+            return (2, 3, 4), ()
+        return (), ()
+    if fixup == "pad":
+        if stride == 1 and xw in (8, 14, 9, 11, 12, 20, 18, 16):
+            return (), (1, 4)
+        if xw in (18, 14, 20) or (stride == 2 and xw in (10, 6)):
+            return (), (1,)
+        return (), ()
+    if fixup == "7x":
+        if stride == 2 and xw in (10, 6):
+            return (4,), ()
+        return (), ()
+    return (), ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,18 +138,22 @@ class V1MultiHeadConfig:
         return V1_VARIANTS[self.variant]
 
     @property
+    def conv_heads(self) -> tuple:
+        return self.spec.get("heads", (1, 2, 3))
+
+    @property
     def cpt(self):
-        return 4
+        return len(self.conv_heads) + 1   # + the identity/pool head
 
     def head_cfgs(self):
         s = self.spec
         return {
-            i + 1: BlockResnetConfig(
-                self.in_planes, self.in_planes, k=s["ks"][i], a=8,
-                padding=s["pads"][i], stride=self.stride,
-                groupsici=self.in_planes // s["groups"][i],
+            h: BlockResnetConfig(
+                self.in_planes, self.in_planes, k=s["ks"][j], a=8,
+                padding=s["pads"][j], stride=self.stride,
+                groupsici=self.in_planes // s["groups"][j],
                 a_bit=self.a_bit)
-            for i in range(3)
+            for j, h in enumerate(self.conv_heads)
         }
 
     def convf_cfg(self):
@@ -126,7 +172,7 @@ class V1MultiHeadConfig:
 
 def init_v1_multihead(key, cfg: V1MultiHeadConfig, dtype=jnp.float32):
     heads = cfg.head_cfgs()
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, len(heads) + 1)
     params, state = {}, {}
     for (i, hcfg), k in zip(sorted(heads.items()), keys[:-1]):
         params[f"conv{i}"], state[f"conv{i}"] = init_block_resnet(k, hcfg,
@@ -150,7 +196,7 @@ def v1_multihead(params, state, cfg: V1MultiHeadConfig, x, training=False):
     heads = cfg.head_cfgs()
     new_state = {}
     outs = {}
-    for i in (1, 2, 3):
+    for i in cfg.conv_heads:
         outs[i], new_state[f"conv{i}"] = block_resnet_bn(
             params[f"conv{i}"], state[f"conv{i}"], heads[i], x, training)
     if cfg.stride == 2:
@@ -158,11 +204,16 @@ def v1_multihead(params, state, cfg: V1MultiHeadConfig, x, training=False):
     else:
         outs[4] = x
 
-    if cfg.variant == "vf_imgnet":
-        for i in _crops_vf_imgnet(x.shape[2]):
+    crops, pads = _fixups_v1(cfg.spec.get("fixup"), cfg.stride, x.shape[2])
+    for i in crops:
+        if i in outs:
             outs[i] = outs[i][:, :-1, :-1, :]
-    # generic reconciliation (exact where the variant tables were exact,
-    # and the only runnable semantics for the reference's broken siblings)
+    for i in pads:
+        if i in outs:
+            outs[i] = zero_pad2d(outs[i], (1, 0, 1, 0))
+    # generic reconciliation (no-op where the variant tables apply — the
+    # exact semantics; the only runnable option at shapes where the
+    # reference's own torch.cat crashes)
     th = min(o.shape[1] for o in outs.values())
     tw = min(o.shape[2] for o in outs.values())
     outs = {i: _crop_to(o, th, tw) for i, o in outs.items()}
@@ -176,16 +227,21 @@ def v1_multihead(params, state, cfg: V1MultiHeadConfig, x, training=False):
 
 def v1_multihead_out_size(cfg: V1MultiHeadConfig, h: int, w: int):
     heads = cfg.head_cfgs()
-    sizes = [block_resnet_out_size(heads[i], h, w) for i in (1, 2, 3)]
+    sizes = {i: block_resnet_out_size(heads[i], h, w)
+             for i in cfg.conv_heads}
     if cfg.stride == 2:
-        sizes.append(((h + 2) // 2, (w + 2) // 2))
+        sizes[4] = ((h + 2) // 2, (w + 2) // 2)
     else:
-        sizes.append((h, w))
-    if cfg.variant == "vf_imgnet":
-        for i in _crops_vf_imgnet(w):
-            sizes[i - 1] = (sizes[i - 1][0] - 1, sizes[i - 1][1] - 1)
-    th = min(s[0] for s in sizes)
-    tw = min(s[1] for s in sizes)
+        sizes[4] = (h, w)
+    crops, pads = _fixups_v1(cfg.spec.get("fixup"), cfg.stride, w)
+    for i in crops:
+        if i in sizes:
+            sizes[i] = (sizes[i][0] - 1, sizes[i][1] - 1)
+    for i in pads:
+        if i in sizes:
+            sizes[i] = (sizes[i][0] + 1, sizes[i][1] + 1)
+    th = min(s[0] for s in sizes.values())
+    tw = min(s[1] for s in sizes.values())
     return block_resnet_out_size(cfg.convf_cfg(), th, tw)
 
 
@@ -212,10 +268,10 @@ V1_STAGES = {
                             (8 * p, 2), 8 * p]),
     "TT_vf_17l": ("vf_17l",
                   lambda p: [(2 * p, 2), (4 * p, 2), (8 * p, 2)]),
-    "TT_vf_unique_7_x": ("vf_imgnet",
+    "TT_vf_unique_7_x": ("vf_7x",
                          lambda p: [p, (2 * p, 2), (4 * p, 2),
                                     (8 * p, 2)]),
-    "TT_vf_18l_pad": ("vf_imgnet",
+    "TT_vf_18l_pad": ("vf_pad",
                       lambda p: [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)]),
 }
 

@@ -26,6 +26,10 @@ for _name in MODEL_REGISTRY:
 # models with hard width constraints
 CASES["tt_certif"] = (dict(nfilter=4, tfilter=6), 32, 10)
 CASES["TT_certif"] = (dict(nfilter=4, tfilter=6), 32, 10)
+# correctBN: groupvf 9 demands p % 3 == 0 (and heads p % 4 == 0); the
+# 512->10 head is 10-class even in the ImageNet file
+CASES["TT_general_correctBN"] = (dict(nfilter=4, tfilter=6), 224, 10)
+CASES["TT_general_correctBN_cifar"] = (dict(nfilter=4, tfilter=6), 32, 10)
 # the v2 (6x5-kernel) variant's head-3 groups need p >= 30
 CASES["ttnet_imagenet_v2"] = (dict(nfilter=8, tfilter=8), 224, 1000)
 CASES["TT_vf_19lv3_imgnet"] = (dict(nfilter=8, tfilter=8), 224, 1000)
