@@ -12,6 +12,7 @@
 //
 // C ABI only (called from Python via ctypes).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_set>
@@ -130,6 +131,138 @@ int ttlogic_minimize(int n, const uint32_t* minterms, int n_minterms,
         out_terms[2 * i + 1] = chosen[i].mask;
     }
     return (int)chosen.size();
+}
+
+// Espresso-style expand-and-cover heuristic over a PACKED truth table.
+//
+// The QMC path above enumerates all prime implicants — super-exponential
+// for random functions beyond n~14 (the reference's own sympy version dies
+// at n~12 and hardcodes n in {4,8,9}).  This routine covers the flagship's
+// n=16 heads (the reference TODO at TT_FHE_SMALL.py:428-430): seed a cube
+// at each uncovered ON-minterm, greedily raise variables while the
+// expanded cube stays inside the ON-set (checked against the packed
+// table), emit the cube, mark its minterms covered.  Near-minimal in
+// practice and O(sum of cube sizes) lookups total.
+//
+// table: bit i of table[i >> 3], little-endian within the byte (the
+// ttlogic_pack_bits layout).  Writes (value, mask) pairs; returns the term
+// count or -1 on overflow.  A trailing irredundancy pass drops cubes whose
+// minterms are all covered by later (larger) cubes.
+
+namespace {
+
+inline bool table_bit(const uint8_t* t, uint32_t i) {
+    return (t[i >> 3] >> (i & 7)) & 1;
+}
+
+// All minterms of cube (value, mask) are ON?  Enumerates the cube by
+// iterating submasks of `mask` added to `value`.
+bool cube_all_on(const uint8_t* table, uint32_t value, uint32_t mask) {
+    uint32_t sub = 0;
+    while (true) {
+        if (!table_bit(table, value | sub)) return false;
+        if (sub == mask) return true;
+        sub = (sub - mask) & mask;  // next submask
+    }
+}
+
+}  // namespace
+
+extern "C" int ttlogic_expand_cover(int n, const uint8_t* table,
+                                    uint32_t* out_terms, int max_terms) {
+    if (n <= 0 || n > 24) return -1;
+    const uint32_t size = 1u << n;
+    std::vector<uint8_t> covered((size + 7) / 8, 0);
+    std::vector<Implicant> cubes;
+
+    for (uint32_t m = 0; m < size; ++m) {
+        if (!table_bit(table, m) || table_bit(covered.data(), m)) continue;
+        uint32_t value = m, mask = 0;
+        // greedy raise: two passes so a variable blocked earlier gets a
+        // second chance after later raises enlarge the cube's context
+        for (int pass = 0; pass < 2; ++pass) {
+            for (int v = 0; v < n; ++v) {
+                uint32_t bit = 1u << v;
+                if (mask & bit) continue;
+                // new half of the candidate cube: value with bit v flipped
+                if (cube_all_on(table, (value ^ bit) & ~mask, mask)) {
+                    mask |= bit;
+                    value &= ~mask;
+                }
+            }
+        }
+        cubes.push_back({value, mask});
+        // mark covered
+        uint32_t sub = 0;
+        while (true) {
+            uint32_t idx = value | sub;
+            covered[idx >> 3] |= (uint8_t)(1u << (idx & 7));
+            if (sub == mask) break;
+            sub = (sub - mask) & mask;
+        }
+    }
+
+    // irredundancy pass via per-minterm coverage counts: a cube is
+    // redundant iff every one of its minterms is covered >= 2 times;
+    // removing it decrements the counts.  Smallest cubes first (they are
+    // the ones a later, larger cube is most likely to have subsumed).
+    std::vector<uint16_t> count(size, 0);
+    auto for_each_minterm = [](const Implicant& c, auto&& fn) {
+        uint32_t sub = 0;
+        while (true) {
+            fn(c.value | sub);
+            if (sub == c.mask) break;
+            sub = (sub - c.mask) & c.mask;
+        }
+    };
+    for (const auto& c : cubes)
+        for_each_minterm(c, [&](uint32_t i) {
+            if (count[i] != UINT16_MAX) ++count[i];
+        });
+    std::vector<size_t> order(cubes.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+        return __builtin_popcount(cubes[a].mask)
+             < __builtin_popcount(cubes[b].mask);
+    });
+    std::vector<bool> keep(cubes.size(), true);
+    for (size_t ci : order) {
+        bool redundant = true;
+        for_each_minterm(cubes[ci], [&](uint32_t i) {
+            if (count[i] < 2) redundant = false;
+        });
+        if (redundant) {
+            keep[ci] = false;
+            for_each_minterm(cubes[ci], [&](uint32_t i) { --count[i]; });
+        }
+    }
+
+    int written = 0;
+    for (size_t i = 0; i < cubes.size(); ++i) {
+        if (!keep[i]) continue;
+        if (written >= max_terms) return -1;
+        out_terms[2 * written] = cubes[i].value;
+        out_terms[2 * written + 1] = cubes[i].mask;
+        ++written;
+    }
+    return written;
+}
+
+// Verify a term list against a packed table: returns the number of
+// mismatching minterms (0 = the cover is exact).
+extern "C" long ttlogic_verify_cover(int n, const uint8_t* table,
+                                     const uint32_t* terms, int n_terms) {
+    if (n <= 0 || n > 24) return -1;
+    const uint32_t size = 1u << n;
+    long mismatches = 0;
+    for (uint32_t i = 0; i < size; ++i) {
+        bool want = table_bit(table, i);
+        bool got = false;
+        for (int t = 0; t < n_terms && !got; ++t)
+            got = ((i ^ terms[2 * t]) & ~terms[2 * t + 1]) == 0;
+        if (want != got) ++mismatches;
+    }
+    return mismatches;
 }
 
 // Evaluate a packed 1-bit truth table at the given indices.

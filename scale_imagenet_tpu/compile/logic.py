@@ -64,6 +64,31 @@ def minimize_truth_table(minterms: list[int], n: int,
     }
 
 
+def minimize_packed(table_bits: np.ndarray, n: int) -> dict:
+    """Espresso-style minimization for large n (the reference's n=16 TODO,
+    TT_FHE_SMALL.py:428-430): takes the PACKED 2^n-bit table, returns cube
+    terms instead of strings (a 10k-term DNF string would be ~1.5 MB per
+    filter).  The cover is verified exact against the table.
+
+    Returns {"terms": [(value, mask)...], "cnf_terms": [...], "gates": int}
+    where cnf_terms is the minimized complement (one CNF clause per cube,
+    De Morgan).
+    """
+    from ..native import (count_term_gates, expand_cover, pack_table_bits,
+                          verify_cover)
+
+    terms = expand_cover(table_bits, n)
+    mism = verify_cover(table_bits, terms, n)
+    if mism:
+        raise AssertionError(f"espresso cover inexact: {mism} mismatches")
+    comp_bits = pack_table_bits(
+        1 - ((np.unpackbits(np.ascontiguousarray(table_bits),
+                            bitorder="little")[: 1 << n])))
+    cnf_terms = expand_cover(comp_bits, n)
+    return {"terms": terms, "cnf_terms": cnf_terms,
+            "gates": count_term_gates(terms, n)}
+
+
 def _terms_to_cnf(complement_terms, n: int) -> str:
     """CNF of f from the minimized DNF of its complement: each complement
     cube (v, m) becomes one clause of negated literals (De Morgan)."""

@@ -102,19 +102,69 @@ def extract_block_tables(params, state, cfg: BlockTTConfig,
                                       col, n, constant=float(uniq[0]))
             continue
         entry = {"table": col}
+        # minimize only (near-)binary outputs: a last=True block ends in
+        # ReLU, so its column is CONTINUOUS — one "value" per row; per-value
+        # minimization there is meaningless (and explodes into 65k
+        # single-minterm problems).  The reference's published gate counts
+        # cover the Heaviside (binary) blocks only; continuous tables are
+        # still exported for the LUT path.
+        if len(uniq) > 16:
+            results[f] = entry
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                np.save(os.path.join(
+                    out_dir, f"table_block{block_id}_filter_{f}"
+                    f"_sousblock_{sub_block_id}_continuous.npy"), col)
+            continue
         if minimize and n <= max_minimize_bits:
-            # one expression per non-default value, like the reference's
-            # iterate_over_filter (TT_FHE_SMALL.py:386-394)
-            exprs = {}
-            for v in uniq[1:]:
-                rows = np.nonzero(col == v)[0].tolist()
-                exprs[float(v)] = minimize_truth_table(rows, n)
-            entry["expressions"] = exprs
+            if n <= 12:
+                # one expression per non-default value, like the
+                # reference's iterate_over_filter (TT_FHE_SMALL.py:386-394)
+                exprs = {}
+                for v in uniq[1:]:
+                    rows = np.nonzero(col == v)[0].tolist()
+                    exprs[float(v)] = minimize_truth_table(rows, n)
+                entry["expressions"] = exprs
+            else:
+                # large n (the flagship's n=16 heads): espresso cube terms,
+                # no strings / CSVs — a 65k-row CSV per filter would be GBs
+                from ..native import pack_table_bits
+                from .logic import minimize_packed
+
+                terms = {}
+                for v in uniq[1:]:
+                    packed = pack_table_bits((col == v).astype(np.uint8))
+                    terms[float(v)] = minimize_packed(packed, n)
+                entry["term_sets"] = terms
         results[f] = entry
         if out_dir:
-            save_filter_artifacts(out_dir, block_id, sub_block_id, f, col,
-                                  n, expressions=entry.get("expressions"))
+            if "term_sets" in entry:
+                _save_packed_artifacts(out_dir, block_id, sub_block_id, f,
+                                       col, entry["term_sets"])
+            else:
+                save_filter_artifacts(out_dir, block_id, sub_block_id, f,
+                                      col, n,
+                                      expressions=entry.get("expressions"))
     return results
+
+
+def _save_packed_artifacts(out_dir: str, block_id: int, sub_block_id: int,
+                           filter_id: int, col: np.ndarray,
+                           term_sets: dict):
+    """Compact artifacts for large-n filters: the packed table plus the
+    minimized (value, mask) cube arrays per output value."""
+    from ..native import pack_table_bits
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = f"block{block_id}_filter_{filter_id}_sousblock_{sub_block_id}"
+    np.save(os.path.join(out_dir, f"packed_table_{base}.npy"),
+            pack_table_bits((col != col.flat[0]).astype(np.uint8)))
+    for v, ts in term_sets.items():
+        arr = np.asarray(ts["terms"], dtype=np.uint32)
+        np.save(os.path.join(out_dir, f"dnf_terms_{base}_value_{v}.npy"),
+                arr)
+        np.save(os.path.join(out_dir, f"cnf_terms_{base}_value_{v}.npy"),
+                np.asarray(ts["cnf_terms"], dtype=np.uint32))
 
 
 def compile_model_truth_tables(block_items, out_dir: str,
@@ -138,6 +188,8 @@ def compile_model_truth_tables(block_items, out_dir: str,
         for f, entry in res.items():
             for expr in (entry.get("expressions") or {}).values():
                 gates += count_gates(expr["dnf"])
+            for ts in (entry.get("term_sets") or {}).values():
+                gates += ts["gates"]
         summary["blocks"][name] = {
             "filters": len(res),
             "n_bits": cfg.n_bits,

@@ -29,7 +29,7 @@ def parse_args(argv=None):
                    default="eval")
     p.add_argument("--compile_out", type=str, default="./truth_tables",
                    help="artifact directory for --mode compile")
-    p.add_argument("--max_minimize_bits", type=int, default=12)
+    p.add_argument("--max_minimize_bits", type=int, default=16)
     p.add_argument("--root_dir", type=str, default="./")
     p.add_argument("--data_dir", type=str,
                    default="./../datasets/ILSVRC/Data/CLS-LOC/")

@@ -10,8 +10,10 @@ from .ttlogic import (
     terms_to_dnf,
     native_available,
     eval_packed_table,
+    expand_cover,
     pack_table_bits,
     count_term_gates,
+    verify_cover,
 )
 
 __all__ = [
@@ -19,6 +21,8 @@ __all__ = [
     "terms_to_dnf",
     "native_available",
     "eval_packed_table",
+    "expand_cover",
     "pack_table_bits",
     "count_term_gates",
+    "verify_cover",
 ]

@@ -49,6 +49,14 @@ def _load():
             lib.ttlogic_count_gates.restype = ctypes.c_long
             lib.ttlogic_count_gates.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int]
+            lib.ttlogic_expand_cover.restype = ctypes.c_int
+            lib.ttlogic_expand_cover.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
+            lib.ttlogic_verify_cover.restype = ctypes.c_long
+            lib.ttlogic_verify_cover.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
             _lib = lib
         except Exception:
             _lib = None
@@ -149,6 +157,75 @@ def eval_packed_table(packed: np.ndarray, indices: np.ndarray) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out
     return (packed[idx >> 3] >> (idx & 7)) & 1
+
+
+def expand_cover(packed: np.ndarray, n: int) -> list[tuple[int, int]]:
+    """Espresso-style expand-and-cover over a packed table (the n=16 path
+    the reference left as TODO, TT_FHE_SMALL.py:428-430).  Near-minimal,
+    O(sum of cube sizes); exactness is checked by ``verify_cover``.
+
+    Python fallback (no toolchain): same greedy algorithm, slower.
+    """
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        max_terms = 1 << min(n, 20)
+        out = np.zeros(2 * max_terms, dtype=np.uint32)
+        k = lib.ttlogic_expand_cover(
+            n, packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), max_terms)
+        if k >= 0:
+            return [(int(out[2 * i]), int(out[2 * i + 1]))
+                    for i in range(k)]
+    # pure-python fallback (same greedy, no irredundancy pass)
+    bits = np.unpackbits(packed, bitorder="little")[: 1 << n]
+    covered = np.zeros(1 << n, dtype=bool)
+    cubes = []
+
+    def cube_idx(value, mask):
+        free = [b for b in range(n) if (mask >> b) & 1]
+        idx = np.asarray([value], dtype=np.int64)
+        for b in free:
+            idx = np.concatenate([idx, idx | (1 << b)])
+        return idx
+
+    for m in range(1 << n):
+        if not bits[m] or covered[m]:
+            continue
+        value, mask = m, 0
+        for _ in range(2):
+            for v in range(n):
+                bit = 1 << v
+                if mask & bit:
+                    continue
+                other = cube_idx((value ^ bit) & ~mask, mask)
+                if bits[other].all():
+                    mask |= bit
+                    value &= ~mask
+        cubes.append((value, mask))
+        covered[cube_idx(value, mask)] = True
+    return cubes
+
+
+def verify_cover(packed: np.ndarray, terms, n: int) -> int:
+    """Number of minterms where the DNF given by ``terms`` disagrees with
+    the packed table (0 = exact)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lib = _load()
+    arr = np.zeros(2 * max(len(terms), 1), dtype=np.uint32)
+    for i, (v, m) in enumerate(terms):
+        arr[2 * i], arr[2 * i + 1] = v, m
+    if lib is not None:
+        return int(lib.ttlogic_verify_cover(
+            n, packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(terms)))
+    bits = np.unpackbits(packed, bitorder="little")[: 1 << n].astype(bool)
+    idx = np.arange(1 << n, dtype=np.uint32)
+    got = np.zeros(1 << n, dtype=bool)
+    for v, m in terms:
+        got |= ((idx ^ v) & ~np.uint32(m)) == 0
+    return int((bits != got).sum())
 
 
 def count_term_gates(terms, n: int) -> int:

@@ -64,3 +64,72 @@ def test_gate_count_consistency():
     assert count_term_gates([(0b10, 0b00)], 2) == 2
     # two disjoint single-literal terms -> 1 OR
     assert count_term_gates([(0b10, 0b01), (0b01, 0b10)], 2) == 1
+
+
+def test_expand_cover_exact_n16():
+    """The espresso-style expand-and-cover handles n=16 (the reference's
+    TODO at TT_FHE_SMALL.py:428-430) and its covers verify exact."""
+    import numpy as np
+
+    from scale_imagenet_tpu.native import (
+        expand_cover,
+        pack_table_bits,
+        verify_cover,
+    )
+
+    rng = np.random.default_rng(3)
+    for kind in ("random", "sparse", "threshold"):
+        if kind == "random":
+            col = rng.integers(0, 2, 1 << 16).astype(np.uint8)
+        elif kind == "sparse":
+            col = np.zeros(1 << 16, np.uint8)
+            col[rng.choice(1 << 16, 300, replace=False)] = 1
+        else:
+            pc = np.array([bin(i).count("1") for i in range(1 << 16)])
+            col = (pc >= 8).astype(np.uint8)
+        packed = pack_table_bits(col)
+        terms = expand_cover(packed, 16)
+        assert verify_cover(packed, terms, 16) == 0, kind
+        assert 0 < len(terms) <= int(col.sum())
+
+
+def test_expand_cover_matches_python_fallback_semantics():
+    """Native and the pure-python fallback both produce exact covers on a
+    small table (not necessarily identical cubes)."""
+    import numpy as np
+
+    from scale_imagenet_tpu.native import pack_table_bits, verify_cover
+    from scale_imagenet_tpu.native.ttlogic import expand_cover, _load
+
+    rng = np.random.default_rng(4)
+    col = rng.integers(0, 2, 1 << 8).astype(np.uint8)
+    packed = pack_table_bits(col)
+    native_terms = expand_cover(packed, 8)
+    assert verify_cover(packed, native_terms, 8) == 0
+
+    # force the python path
+    import scale_imagenet_tpu.native.ttlogic as tl
+
+    saved = tl._lib
+    tl._lib = None
+    tl._tried = True
+    try:
+        py_terms = expand_cover(packed, 8)
+    finally:
+        tl._lib = saved
+    assert verify_cover(packed, py_terms, 8) == 0
+
+
+def test_minimize_packed_api():
+    """minimize_packed returns verified DNF + complement-CNF terms and a
+    gate count consistent with count_term_gates."""
+    import numpy as np
+
+    from scale_imagenet_tpu.compile.logic import minimize_packed
+    from scale_imagenet_tpu.native import count_term_gates, pack_table_bits
+
+    rng = np.random.default_rng(5)
+    col = rng.integers(0, 2, 1 << 12).astype(np.uint8)
+    out = minimize_packed(pack_table_bits(col), 12)
+    assert out["gates"] == count_term_gates(out["terms"], 12)
+    assert out["cnf_terms"]  # complement non-empty for a random function
