@@ -46,6 +46,16 @@ class PerformanceConfig:
     # ms/batch at B=256), so it stays opt-in.
     fused_pointwise_blocks: bool = False
 
+    # Polynomial erf GELU for TPU eval: the exact-erf GELU on the t=8
+    # amplified intermediates is ~60% of the whole eval step (measured:
+    # gelu->identity takes 47.2 -> 19.4 ms/batch at B=256).  XLA's f32
+    # erf takes an exp()-based branch; fast_gelu is a clamped odd
+    # degree-16 Chebyshev polynomial with max |gelu error| 7.4e-7 in f32
+    # (~ulp level; Heaviside bit flips and argmax agreement are gated in
+    # tests/test_fast_gelu.py).  Applies to eval on TPU only; training
+    # and the parity/compile paths keep exact erf.
+    fast_gelu: bool = True
+
 
 performance = PerformanceConfig()
 

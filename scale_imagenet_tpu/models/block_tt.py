@@ -23,6 +23,7 @@ from ..layers.conv import conv2d, init_conv2d, init_bin_conv2d, bin_conv2d
 from ..layers.norm import batch_norm, init_batch_norm
 from ..layers.pool import constant_pad2d
 from ..ops.binarize import binarize01_act
+from ..ops.gelu import eval_gelu
 
 
 def _as_pair(v):
@@ -88,8 +89,7 @@ def block_tt(
     if input_mask is not None:
         x = x * input_mask
 
-    # TPU eval fast path: pointwise blocks fuse into a single Pallas kernel
-    # (bit-exact; see pallas/fused_block.py)
+    # TPU eval fast paths (see config.PerformanceConfig)
     from ..config import performance
     if (not training and performance.fused_pointwise_blocks
             and cfg.k == 1 and cfg.stride == 1 and cfg.padding == 0
@@ -108,7 +108,10 @@ def block_tt(
         out = conv2d(params["conv1"], x, stride=cfg.stride, padding=0,
                      groups=cfg.groupsici)
     out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
-    out = jax.nn.gelu(out, approximate=False)  # torch F.gelu is erf-exact
+    # torch F.gelu is erf-exact; the TPU eval path swaps in the ulp-level
+    # polynomial erf (ops/gelu.py) — the exact erf alone is ~60% of the
+    # eval step on a v5e.  Training/parity/compile paths stay exact.
+    out = eval_gelu(out, training)
     out = conv2d(params["conv2"], out, stride=1, padding=0,
                  groups=cfg.groupsici)
     out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)

@@ -24,6 +24,7 @@ from ..layers.linear import bin_linear, init_bin_linear, init_linear, linear
 from ..layers.norm import batch_norm, init_batch_norm, init_stats_bn, stats_bn
 from ..layers.pool import avg_pool, flatten, max_pool
 from ..ops.binarize import binarize01_act
+from ..ops.gelu import eval_gelu
 from ..ops.quantize import activation_quantize
 from .multihead import channel_interleave
 
@@ -71,7 +72,7 @@ def block_resnet(params, state, cfg: BlockResnetConfig, x, training=False):
     out = conv2d(params["conv1"], x, stride=cfg.stride, padding=cfg.padding,
                  groups=cfg.groupsici)
     out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
-    out = jax.nn.gelu(out, approximate=False)
+    out = eval_gelu(out, training)
     out = conv2d(params["conv2"], out, stride=1, padding=0,
                  groups=cfg.groupsici)
     if cfg.last:
@@ -79,7 +80,7 @@ def block_resnet(params, state, cfg: BlockResnetConfig, x, training=False):
     else:
         out = activation_quantize(out, cfg.a_bit)
         out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
-    out = jax.nn.gelu(out, approximate=False)
+    out = eval_gelu(out, training)
     return out, {"bn1": bn1_s, "bn2": bn2_s}
 
 

@@ -22,6 +22,7 @@ from ..layers.linear import init_linear, linear
 from ..layers.norm import batch_norm, init_batch_norm
 from ..layers.pool import avg_pool, flatten
 from ..ops.binarize import binarize01_act
+from ..ops.gelu import eval_gelu
 from ..ops.quantize import activation_quantize
 from .multihead import channel_interleave
 from .ttnet_cifar import BlockResnetConfig, block_resnet_out_size, \
@@ -50,20 +51,20 @@ def block_resnet_float(params, state, cfg: BlockResnetConfig, x,
     out = conv2d(params["conv1"], x, stride=cfg.stride,
                  padding=cfg.padding, groups=cfg.groupsici)
     out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
-    out = jax.nn.gelu(out, approximate=False)
+    out = eval_gelu(out, training)
     new_state = {"bn1": bn1_s}
     if "conv1b" in params:
         out = conv2d(params["conv1b"], out, stride=1, padding=0,
                      groups=cfg.groupsici)
         out, bnb_s = batch_norm(params["bn1b"], state["bn1b"], out,
                                 training)
-        out = jax.nn.gelu(out, approximate=False)
+        out = eval_gelu(out, training)
         new_state["bn1b"] = bnb_s
     out = conv2d(params["conv2"], out, stride=1, padding=0,
                  groups=cfg.groupsici)
     if cfg.last:
         out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
-        out = jax.nn.gelu(out, approximate=False)
+        out = eval_gelu(out, training)
     else:
         if cfg.a_bit > 1:
             out = activation_quantize(out, cfg.a_bit)
@@ -238,12 +239,12 @@ def block_resnet_bn_float(params, state, cfg: BlockResnetConfig, x,
     out = conv2d(params["conv1"], x, stride=cfg.stride,
                  padding=cfg.padding, groups=cfg.groupsici)
     out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
-    out = jax.nn.gelu(out, approximate=False)
+    out = eval_gelu(out, training)
     out = conv2d(params["conv2"], out, stride=1, padding=0,
                  groups=cfg.groupsici)
     out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
     if cfg.last:
-        out = jax.nn.gelu(out, approximate=False)
+        out = eval_gelu(out, training)
     elif cfg.a_bit > 1:
         out = activation_quantize(out, cfg.a_bit)
     else:

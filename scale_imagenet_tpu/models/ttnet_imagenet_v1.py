@@ -40,6 +40,7 @@ from ..layers.linear import init_linear, linear
 from ..layers.norm import batch_norm, init_batch_norm
 from ..layers.pool import avg_pool, flatten, zero_pad2d
 from ..ops.binarize import binarize01_act
+from ..ops.gelu import eval_gelu
 from ..ops.quantize import activation_quantize
 from .multihead import channel_interleave
 from .ttnet_cifar import (
@@ -56,12 +57,12 @@ def block_resnet_bn(params, state, cfg: BlockResnetConfig, x,
     out = conv2d(params["conv1"], x, stride=cfg.stride,
                  padding=cfg.padding, groups=cfg.groupsici)
     out, bn1_s = batch_norm(params["bn1"], state["bn1"], out, training)
-    out = jax.nn.gelu(out, approximate=False)
+    out = eval_gelu(out, training)
     out = conv2d(params["conv2"], out, stride=1, padding=0,
                  groups=cfg.groupsici)
     out, bn2_s = batch_norm(params["bn2"], state["bn2"], out, training)
     if cfg.last:
-        out = jax.nn.gelu(out, approximate=False)
+        out = eval_gelu(out, training)
     elif cfg.a_bit > 1:
         out = activation_quantize(out, cfg.a_bit)
     else:
