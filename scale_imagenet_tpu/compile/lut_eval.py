@@ -16,10 +16,12 @@ The index conv reuses the exact bit order of ``enumerate_patterns``
 (MSB-first, channel-major), so ``block_truth_table`` tables drop in
 unchanged.
 
-Performance note (measured, v5e, flagship model, batch 256): XLA gathers
-over 65536-entry tables run at ~125 img/s vs ~1300+ img/s for the conv
-path — LUT mode is the *verification/compilation* execution of a compiled
-network (and the FHE/SAT export semantics), not the throughput path.
+Performance: XLA lowers the table gather to a serial HBM loop (~125
+img/s on the flagship vs ~1300+ for the conv path, measured per-dispatch).
+On TPU backends the gather instead runs through the Pallas LUT kernel
+(``pallas/lut_gather.py``: bit-packed VMEM tables + lane-gather), which
+makes compiled-network serving competitive with the conv path; the XLA
+formulation remains the portable/verification semantics.
 """
 
 from __future__ import annotations
@@ -62,6 +64,7 @@ class BlockLUT:
     cfg: BlockTTConfig
     table: jnp.ndarray       # (out_planes, 2^n) — bits or floats
     index_w: jnp.ndarray     # (kh, kw, ci, G)
+    packed: jnp.ndarray | None = None   # (G, F, S, 128) Pallas layout
 
 
 # LUTs are pytrees (cfg static) so compiled models can be passed as jit
@@ -69,20 +72,49 @@ class BlockLUT:
 # (gigabytes in the program body; remote compilers reject it outright).
 jax.tree_util.register_pytree_node(
     BlockLUT,
-    lambda lut: ((lut.table, lut.index_w), lut.cfg),
+    lambda lut: ((lut.table, lut.index_w, lut.packed), lut.cfg),
     lambda cfg, leaves: BlockLUT(cfg, *leaves),
 )
+
+# float-table Pallas blocks above this VMEM footprint fall back to XLA
+_MAX_FLOAT_TABLE_BYTES = 4 << 20
+
+
+def _pack_for_pallas(table: np.ndarray, cfg: BlockTTConfig):
+    """Pallas-layout tables: bit-packed int32 for Heaviside blocks, raw
+    float32 rows for last/ReLU blocks; None when out of kernel range."""
+    from ..pallas.lut_gather import MAX_BIT_ROWS, pack_bit_table, \
+        pack_float_table
+    if cfg.last:
+        if table.shape[0] * 4 > _MAX_FLOAT_TABLE_BYTES:
+            return None
+        return jnp.asarray(pack_float_table(table, cfg.groupsici))
+    if table.shape[0] > MAX_BIT_ROWS * 4096:
+        return None
+    return jnp.asarray(pack_bit_table(table, cfg.groupsici))
 
 
 def compile_block_tt_lut(params, state, cfg: BlockTTConfig) -> BlockLUT:
     table = block_truth_table(params, state, cfg)     # (2^n, out)
     return BlockLUT(cfg=cfg, table=jnp.asarray(table.T),
-                    index_w=_index_weights(cfg))
+                    index_w=_index_weights(cfg),
+                    packed=_pack_for_pallas(table, cfg))
 
 
-def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray) -> jnp.ndarray:
+def _use_pallas(lut: BlockLUT, pallas: bool | None) -> bool:
+    if lut.packed is None:
+        return False
+    if pallas is None:
+        return jax.default_backend() == "tpu"
+    return pallas
+
+
+def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray, *,
+                       pallas: bool | None = None,
+                       interpret: bool = False) -> jnp.ndarray:
     """x_bits: NHWC {0,1} float; returns the block output (bits, or floats
-    for a last/ReLU block)."""
+    for a last/ReLU block).  ``pallas=None`` auto-selects the Pallas LUT
+    kernel on TPU backends; False forces the portable XLA gather."""
     cfg = lut.cfg
     if cfg.padding != 0:
         x_bits = constant_pad2d(x_bits, cfg.padding)
@@ -91,6 +123,11 @@ def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray) -> jnp.ndarray:
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=cfg.groupsici)
     idx = idx.astype(jnp.int32)                        # (B, H, W, G)
+    if _use_pallas(lut, pallas):
+        from ..pallas.lut_gather import lut_gather_nhwc
+        tile_rows = 8 if interpret else 512
+        return lut_gather_nhwc(lut.packed, idx, tile_rows=tile_rows,
+                               interpret=interpret)
     out_per_group = cfg.out_planes // cfg.groupsici
     # filter f belongs to group f // out_per_group; flat gather over
     # (out_planes * 2^n)
@@ -128,10 +165,13 @@ def compile_multihead_lut(params, state, cfg: MultiHeadConfig) \
     return MultiHeadLUT(cfg=cfg, heads=heads, convf=convf)
 
 
-def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray):
+def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
+                        pallas: bool | None = None,
+                        interpret: bool = False):
     """Mirror of ``multihead_block`` with every Block_TT as a LUT."""
     cfg = lut.cfg
-    outs = {i: lut_block_tt_apply(lut.heads[i], x_bits)
+    outs = {i: lut_block_tt_apply(lut.heads[i], x_bits, pallas=pallas,
+                                  interpret=interpret)
             for i in sorted(lut.heads)}
     if cfg.stride == 2:
         # heaviside(avgpool2(bits) - 0.5) == [sum of the 4 bits >= 2]
@@ -152,7 +192,8 @@ def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray):
     if not cfg.fuse:
         return cat
     cat = channel_interleave(cat, cfg.cpt)
-    return lut_block_tt_apply(lut.convf, cat)
+    return lut_block_tt_apply(lut.convf, cat, pallas=pallas,
+                              interpret=interpret)
 
 
 def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
@@ -163,7 +204,8 @@ def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
     ]
 
 
-def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x):
+def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
+                    pallas: bool | None = None, interpret: bool = False):
     """Full LUT-mode forward of a ttnet_imagenet model: float stem and
     classifier, table-lookup blocks."""
     from ..layers.conv import conv2d
@@ -181,7 +223,7 @@ def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x):
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
     h = binarize01_act(h)
     for lut in luts:
-        h = lut_multihead_apply(lut, h)
+        h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret)
     h = _ap(h, 2)
     h = flatten(h)
     logits, _ = classifier_scale(params["classifier"],

@@ -59,8 +59,8 @@ def parse_args(argv=None):
                         "loss at this perturbation radius")
     p.add_argument("--stability_coeff", type=float, default=1e-4)
     p.add_argument("--native_data", action="store_true",
-                   help="use the C++ libjpeg loader (6x faster decode; "
-                        "plain-bilinear resize vs PIL's antialiased)")
+                   help="use the C++ libjpeg loader (faster decode, "
+                        "pixel-identical to the PIL pipeline)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 

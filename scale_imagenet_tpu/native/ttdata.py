@@ -36,7 +36,7 @@ def _load():
                     os.path.exists(_SRC)
                     and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
                      _SRC, "-o", _SO, "-ljpeg"],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)

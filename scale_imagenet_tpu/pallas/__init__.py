@@ -6,5 +6,9 @@ XLA path remains the reference semantics.
 """
 
 from .stem import space_to_depth_stem, fold_avgpool_into_stem_weight
+from .lut_gather import lut_gather, lut_gather_nhwc, pack_bit_table, \
+    pack_float_table
 
-__all__ = ["space_to_depth_stem", "fold_avgpool_into_stem_weight"]
+__all__ = ["space_to_depth_stem", "fold_avgpool_into_stem_weight",
+           "lut_gather", "lut_gather_nhwc", "pack_bit_table",
+           "pack_float_table"]

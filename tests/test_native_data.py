@@ -1,5 +1,6 @@
-"""Native (libjpeg) image loader: decodes correctly and stays close to the
-PIL parity path (different resize filter, same geometry/normalization)."""
+"""Native (libjpeg) image loader: pixel-identical to the PIL parity path
+(PIL-exact antialiased fixed-point resampling, same geometry and
+normalization)."""
 
 import numpy as np
 import pytest
@@ -19,12 +20,16 @@ def jpeg_dir(tmp_path_factory):
     rng = np.random.default_rng(0)
     d = root / "val" / "class_a"
     d.mkdir(parents=True)
-    # smooth images (random noise is the pathological case for resize-filter
-    # differences); gradient images compare tightly
-    for i in range(4):
-        yy, xx = np.mgrid[0:300, 0:280]
-        arr = np.stack([(xx * (i + 1)) % 256, (yy * 2) % 256,
-                        ((xx + yy) // 2) % 256], -1).astype(np.uint8)
+    # mixed geometries incl. pure noise — the resampler must be PIL-exact
+    # even on the filter-pathological case
+    for i, (w, h) in enumerate([(280, 300), (500, 375), (256, 256),
+                                (300, 257)]):
+        if i % 2:
+            arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack([(xx * (i + 1)) % 256, (yy * 2) % 256,
+                            ((xx + yy) // 2) % 256], -1).astype(np.uint8)
         Image.fromarray(arr).save(d / f"g{i}.jpg", quality=95)
     return str(root / "val")
 
@@ -33,7 +38,7 @@ def test_native_builds():
     assert native_data_available(), "ttdata.so failed to build"
 
 
-def test_batch_decode_matches_pil_geometry(jpeg_dir):
+def test_batch_decode_pixel_exact_vs_pil(jpeg_dir):
     from scale_imagenet_tpu.data import ImageFolder, imagenet_eval_transform
 
     ds = ImageFolder(jpeg_dir, imagenet_eval_transform)
@@ -41,9 +46,8 @@ def test_batch_decode_matches_pil_geometry(jpeg_dir):
     nat, fail = load_eval_batch(paths)
     assert nat.shape == (len(paths), 224, 224, 3)
     assert int(fail.sum()) == 0
-    pil = np.stack([ds[i][0] for i in range(len(ds))])
-    # same geometry + normalization; filters differ slightly
-    assert float(np.abs(nat - pil).mean()) < 0.1
+    pil = np.stack([ds[i][0] for i in range(len(ds))]).astype(np.float32)
+    np.testing.assert_array_equal(nat, pil)
 
 
 def test_failure_mask(tmp_path, jpeg_dir):
