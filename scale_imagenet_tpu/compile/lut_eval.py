@@ -167,8 +167,17 @@ def compile_multihead_lut(params, state, cfg: MultiHeadConfig) \
 
 def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
                         pallas: bool | None = None,
-                        interpret: bool = False):
-    """Mirror of ``multihead_block`` with every Block_TT as a LUT."""
+                        interpret: bool = False,
+                        convf_float=None):
+    """Mirror of ``multihead_block`` with every Block_TT as a LUT.
+
+    ``convf_float``: optional ``(params, state)`` of the fuse head.  A
+    last/ReLU convf holds float values, not gates — its "table" is just a
+    cached evaluation of the float block, and walking a 2^16-entry float
+    table dominates LUT serving (measured: 195 of 239 ms/batch on the
+    flagship).  When the block params are supplied, the float head runs
+    as the (tiny) float conv it is — same function, conv-speed.
+    """
     cfg = lut.cfg
     outs = {i: lut_block_tt_apply(lut.heads[i], x_bits, pallas=pallas,
                                   interpret=interpret)
@@ -192,6 +201,11 @@ def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
     if not cfg.fuse:
         return cat
     cat = channel_interleave(cat, cfg.cpt)
+    if convf_float is not None and lut.convf.cfg.last:
+        from ..models.block_tt import block_tt
+        y, _ = block_tt(convf_float[0], convf_float[1], lut.convf.cfg,
+                        cat, training=False)
+        return y
     return lut_block_tt_apply(lut.convf, cat, pallas=pallas,
                               interpret=interpret)
 
@@ -205,9 +219,13 @@ def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
 
 
 def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
-                    pallas: bool | None = None, interpret: bool = False):
+                    pallas: bool | None = None, interpret: bool = False,
+                    last_via_conv: bool = True):
     """Full LUT-mode forward of a ttnet_imagenet model: float stem and
-    classifier, table-lookup blocks."""
+    classifier, table-lookup blocks.  ``last_via_conv`` serves the final
+    (ReLU, float-valued) fuse head as the float conv instead of a float
+    table walk — identical function, conv-speed (see lut_multihead_apply);
+    set False for the table-exact export semantics."""
     from ..layers.conv import conv2d
     from ..layers.norm import batch_norm
     from ..layers.pool import avg_pool as _ap, flatten
@@ -222,8 +240,12 @@ def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
         h = conv2d(params["stem_conv"], h, stride=2, padding=3)
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
     h = binarize01_act(h)
-    for lut in luts:
-        h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret)
+    for i, lut in enumerate(luts):
+        cf = None
+        if last_via_conv and lut.convf is not None and lut.convf.cfg.last:
+            cf = (params[f"block{i}"]["convf"], state[f"block{i}"]["convf"])
+        h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret,
+                                convf_float=cf)
     h = _ap(h, 2)
     h = flatten(h)
     logits, _ = classifier_scale(params["classifier"],

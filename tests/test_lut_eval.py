@@ -75,3 +75,9 @@ def test_full_model_lut_forward():
     # blocks are bit-exact; only the float classifier can differ in ulps
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+    # serving default routes the final float-valued fuse head through the
+    # float conv; the table-exact export path must agree
+    got_tab = lut_ttnet_apply(luts, params, state, m.config, x,
+                              last_via_conv=False)
+    np.testing.assert_allclose(np.asarray(got_tab), np.asarray(got),
+                               rtol=1e-4, atol=1e-4)
