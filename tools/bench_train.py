@@ -45,6 +45,7 @@ def bench_torch(batch: int, iters: int = 3) -> float:
 
     class Cfg:
         nfilter, tfilter, layers = 8, 8, 1
+        groups = [None, None, None, None]
 
     model = TT_vf_19lv3_imgnet_small(Cfg())
     model.train()
@@ -78,7 +79,7 @@ def bench_jax(batches: list[int], iters: int = 10) -> dict:
 
     model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
     params, state = model.init(jax.random.PRNGKey(0))
-    tx = make_optimizer(lr=0.1, momentum=0.9, weight_decay=1e-4)
+    tx, _ = make_optimizer(lr=0.1, momentum=0.9, weight_decay=1e-4)
     step = make_train_step(model, tx)
     key = jax.random.PRNGKey(7)
 
