@@ -14,8 +14,25 @@ from .logic import (
     minimize_truth_table,
     save_filter_artifacts,
 )
+from .lut_eval import (
+    compile_block_tt_lut,
+    compile_multihead_lut,
+    compile_ttnet_lut,
+    lut_block_tt_apply,
+    lut_multihead_apply,
+    lut_ttnet_apply,
+)
+from .lut_store import load_luts, save_luts
 
 __all__ = [
+    "compile_block_tt_lut",
+    "compile_multihead_lut",
+    "compile_ttnet_lut",
+    "lut_block_tt_apply",
+    "lut_multihead_apply",
+    "lut_ttnet_apply",
+    "load_luts",
+    "save_luts",
     "block_truth_table",
     "enumerate_patterns",
     "extract_block_tables",

@@ -81,3 +81,20 @@ def test_full_model_lut_forward():
                               last_via_conv=False)
     np.testing.assert_allclose(np.asarray(got_tab), np.asarray(got),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lut_store_roundtrip(tmp_path):
+    """save_luts/load_luts: the serving archive reproduces the forward."""
+    from scale_imagenet_tpu.compile.lut_store import load_luts, save_luts
+
+    m = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4, layers=0)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+    luts = compile_ttnet_lut(params, state, m.config)
+    path = str(tmp_path / "luts.npz")
+    save_luts(path, luts)
+    loaded = load_luts(path, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 224, 224, 3))
+    ref = lut_ttnet_apply(luts, params, state, m.config, x)
+    got = lut_ttnet_apply(loaded, params, state, m.config, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
