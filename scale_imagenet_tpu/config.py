@@ -41,9 +41,11 @@ class PerformanceConfig:
     # Pallas kernel at eval time on TPU backends (the v2 bundled
     # block-diagonal kernel: no layout transposes, dense MXU shapes,
     # ~2e-6 GELU approx).  13.9x faster than the XLA chain when measured
-    # standalone, but end to end the full model is HBM/schedule-bound
-    # elsewhere and the fused path measures neutral (46.6 vs 47.9
-    # ms/batch at B=256), so it stays opt-in.
+    # standalone (dispatch-inflated baseline); end to end it was neutral
+    # pre-fast_gelu, and with fast_gelu on, XLA's own nested mega-fusions
+    # (conv1+BN+GELU feeding conv2 in one kOutput fusion, see PERF.md)
+    # now BEAT the kernel: 7220 vs 5701 img/s at B=256.  Kept opt-in as
+    # the reference point for future kernel work, not a production path.
     fused_pointwise_blocks: bool = False
 
     # Polynomial erf GELU for TPU eval: the exact-erf GELU on the t=8

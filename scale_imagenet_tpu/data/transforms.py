@@ -60,6 +60,17 @@ def imagenet_eval_transform(img) -> np.ndarray:
     return _normalize(_to_float_chw_last(img), IMAGENET_MEAN, IMAGENET_STD)
 
 
+def imagenet_eval_crop_u8(img) -> np.ndarray:
+    """Resize(256) -> CenterCrop(224), kept as HWC uint8 — the storage
+    stage of the pre-decoded shard pipeline (data/shards.py).  Normalize
+    moves on-device (u8 -> f32 is exact, so splitting the transform here
+    is lossless vs imagenet_eval_transform)."""
+    img = img.convert("RGB")
+    img = _resize_shorter(img, 256)
+    img = _center_crop(img, 224)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _random_resized_crop(img, size: int, rng,
                          scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
     w, h = img.size

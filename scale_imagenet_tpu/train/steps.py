@@ -26,7 +26,8 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_eval_step(model, mesh: Mesh | None = None, key=None):
+def make_eval_step(model, mesh: Mesh | None = None, key=None,
+                   normalize=None):
     """Returns ``eval_step(params, state, images, labels) -> metrics dict``.
 
     ``key``: optional PRNG key for models whose eval forward is stochastic
@@ -35,9 +36,24 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None):
     forward (torch's global RNG advances every batch).  We mirror that by
     folding a per-call counter into ``key``, so each batch sees a distinct
     noise pattern while the jitted program stays cached.
+
+    ``normalize``: optional ``(mean, std)`` (per-channel, [0,1] scale) to
+    apply on-device — the pre-decoded shard pipeline (data/shards.py)
+    streams uint8 and normalizes inside the jitted step, which is exact
+    (u8 -> f32 loses nothing) and quarters host->device traffic.
     """
+    if normalize is not None:
+        _mean = jnp.asarray(normalize[0], jnp.float32)
+        _std = jnp.asarray(normalize[1], jnp.float32)
 
     def step_fn(params, state, images, labels, step_key):
+        if normalize is not None:
+            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
+        # serve at the params' precision (bf16 serving casts params only;
+        # lax.conv requires matching dtypes)
+        pdt = jax.tree.leaves(params)[0].dtype
+        if jnp.issubdtype(pdt, jnp.floating) and images.dtype != pdt:
+            images = images.astype(pdt)
         logits, _ = model.apply(params, state, images, training=False,
                                 key=step_key)
         loss = cross_entropy(logits, labels)

@@ -3,6 +3,7 @@ parameter accounting, profiling/tracing."""
 
 from .misc import (
     AverageMetric,
+    cast_floating,
     LimitedDatasetIter,
     ReplayDatasetIter,
     count_parameters,
@@ -13,7 +14,7 @@ from .misc import (
 from .tracing import StepTimer, profile_trace, print_tree_shapes
 
 __all__ = [
-    "AverageMetric", "LimitedDatasetIter", "ReplayDatasetIter",
+    "AverageMetric", "cast_floating", "LimitedDatasetIter", "ReplayDatasetIter",
     "count_parameters", "get_mean_and_std", "get_sparsity_stat", "rgb_to_hsv",
     "StepTimer", "profile_trace", "print_tree_shapes",
 ]

@@ -1,0 +1,116 @@
+"""Pre-decoded uint8 shard pipeline (data/shards.py): write-once decode,
+memmap batch serving, and on-device normalization equivalence with the
+host-normalized PIL path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from scale_imagenet_tpu.data import (DataLoader, ImageFolder,
+                                     imagenet_eval_transform)
+from scale_imagenet_tpu.data.shards import (ShardDataset, shard_loader,
+                                            write_shards)
+from scale_imagenet_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
+                                                imagenet_eval_crop_u8)
+
+
+@pytest.fixture(scope="module")
+def jpeg_tree(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("shard_jpegs")
+    rng = np.random.default_rng(7)
+    n = 0
+    for cls in ("class_a", "class_b"):
+        d = root / "val" / cls
+        d.mkdir(parents=True)
+        for i in range(5):
+            h, w = int(rng.integers(240, 400)), int(rng.integers(240, 400))
+            arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"i{i}.jpg", quality=92)
+            n += 1
+    return str(root / "val"), n
+
+
+@pytest.fixture(scope="module")
+def shard_dir(jpeg_tree, tmp_path_factory):
+    src_dir, _ = jpeg_tree
+    out = str(tmp_path_factory.mktemp("shards"))
+    ds = ImageFolder(src_dir, imagenet_eval_crop_u8)
+    meta = write_shards(ds, out, shard_size=3)  # force shard boundaries
+    return out, meta
+
+
+def test_write_and_meta(jpeg_tree, shard_dir):
+    _, n = jpeg_tree
+    out, meta = shard_dir
+    assert meta["n"] == n
+    assert meta["shape"] == [224, 224, 3]
+    assert meta["classes"] == ["class_a", "class_b"]
+
+
+def test_items_match_pil_crop(jpeg_tree, shard_dir):
+    src_dir, n = jpeg_tree
+    out, _ = shard_dir
+    ref = ImageFolder(src_dir, imagenet_eval_crop_u8)
+    got = ShardDataset(out)
+    assert len(got) == len(ref) == n
+    for i in range(n):
+        ri, rl = ref[i]
+        gi, gl = got[i]
+        assert gl == rl
+        np.testing.assert_array_equal(gi, ri)
+        assert gi.dtype == np.uint8
+
+
+def test_iter_batches_spans_shards(shard_dir):
+    out, meta = shard_dir
+    ds = ShardDataset(out)
+    # batch 4 over shard_size 3 forces every batch to cross a boundary
+    batches = list(ds.iter_batches(4))
+    assert sum(len(b[1]) for b in batches) == meta["n"]
+    flat_lbl = np.concatenate([b[1] for b in batches])
+    ref_lbl = np.asarray([ds[i][1] for i in range(len(ds))])
+    np.testing.assert_array_equal(flat_lbl, ref_lbl)
+    flat_img = np.concatenate([b[0] for b in batches])
+    ref_img = np.stack([ds[i][0] for i in range(len(ds))])
+    np.testing.assert_array_equal(flat_img, ref_img)
+    # drop_last drops the trailing short batch
+    kept = list(ds.iter_batches(4, drop_last=True))
+    assert sum(len(b[1]) for b in kept) == (meta["n"] // 4) * 4
+
+
+def test_shard_loader_len(shard_dir):
+    out, meta = shard_dir
+    ld = shard_loader(out, 4)
+    assert len(ld) == -(-meta["n"] // 4)
+    assert len(list(ld)) == len(ld)
+
+
+def test_device_normalize_equivalence(jpeg_tree, shard_dir):
+    """u8 shards + on-device normalize == host-normalized f32 pipeline,
+    through the real eval step on a tiny model."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.train.steps import make_eval_step
+
+    src_dir, _ = jpeg_tree
+    out, _ = shard_dir
+    model = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4,
+                      layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    host_ld = DataLoader(ImageFolder(src_dir, imagenet_eval_transform),
+                         batch_size=5)
+    shard_ld = shard_loader(out, 5)
+
+    step_host = make_eval_step(model)
+    step_dev = make_eval_step(model,
+                              normalize=(IMAGENET_MEAN, IMAGENET_STD))
+    for (hx, hy), (sx, sy) in zip(host_ld, shard_ld):
+        np.testing.assert_array_equal(hy, sy)
+        mh = step_host(params, state, hx, hy)
+        md = step_dev(params, state, sx, sy)
+        # u8->f32/255 is exact; remaining diff is f32 op-order noise
+        assert abs(float(mh["loss"]) - float(md["loss"])) < 1e-5
+        assert float(mh["top1"]) == float(md["top1"])
