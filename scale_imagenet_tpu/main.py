@@ -61,6 +61,13 @@ def parse_args(argv=None):
     p.add_argument("--native_data", action="store_true",
                    help="use the C++ libjpeg loader (faster decode, "
                         "pixel-identical to the PIL pipeline)")
+    p.add_argument("--lut", action="store_true",
+                   help="serve the compiled network: truth-table LUT "
+                        "blocks (Pallas gather kernel on TPU) instead of "
+                        "conv math — bit-faithful with the float model")
+    p.add_argument("--lut_path", type=str, default=None,
+                   help="LUT archive (.npz): loaded if present, else "
+                        "written after compilation")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving: cast params + BN state to bfloat16 "
                         "for eval (+4%% throughput; argmax agreement "
@@ -102,6 +109,43 @@ def load_params(cfg, model):
         return family(sd, model.config)
     payload = load_checkpoint(cfg.ckpt)
     return payload["params"], payload["state"]
+
+
+def _as_lut_model(model, params, state, lut_path=None):
+    """Wrap a ttnet_imagenet model as its compiled-LUT serving twin:
+    ``apply`` runs truth-table blocks (Pallas gather on TPU) instead of
+    conv math.  Tables load from ``lut_path`` when present, else compile
+    here (2^n enumeration per head) and save to ``lut_path`` if given."""
+    import os as _os
+
+    from .compile import compile_ttnet_lut, load_luts, lut_ttnet_apply, \
+        save_luts
+    from .models.ttnet_imagenet import TTnetImageNetConfig
+
+    if not isinstance(model.config, TTnetImageNetConfig):
+        raise ValueError("--lut serving supports the ttnet_imagenet "
+                         f"family, not {type(model.config).__name__}")
+    if lut_path and _os.path.exists(lut_path):
+        print(f"loading LUTs from {lut_path}")
+        luts = load_luts(lut_path, model.config)
+    else:
+        print("compiling truth tables (2^n patterns per head)...")
+        luts = compile_ttnet_lut(params, state, model.config)
+        if lut_path:
+            save_luts(lut_path, luts)
+            print(f"saved LUTs -> {lut_path}")
+
+    class _LutModel:
+        name = model.name + "+lut"
+        config = model.config
+
+        @staticmethod
+        def apply(params, state, x, training=False, key=None):
+            del training, key
+            return lut_ttnet_apply(luts, params, state, model.config, x), \
+                state
+
+    return _LutModel()
 
 
 def main(argv=None):
@@ -175,6 +219,8 @@ def main(argv=None):
 
             params = cast_floating(params)
             state = cast_floating(state)
+        if cfg.lut:
+            model = _as_lut_model(model, params, state, cfg.lut_path)
         if cfg.shards_dir:
             from .data.shards import shard_loader
             from .data.transforms import IMAGENET_MEAN, IMAGENET_STD

@@ -64,3 +64,23 @@ def test_cli_compile(tmp_path):
     dirs = [d for d in os.listdir(out) if d.startswith("block")]
     assert dirs
     assert os.listdir(os.path.join(out, dirs[0]))
+
+
+def test_cli_lut_serving(fake_imagenet, tmp_path):
+    """--lut: compiled truth-table serving through the CLI — same
+    accuracy/loss as conv mode, and the archive round-trips via
+    --lut_path (compile+save on first run, load on second)."""
+    args = [
+        "--mode", "eval", "--data_dir", fake_imagenet,
+        "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--root_dir", str(tmp_path), "--mesh_data", "1",
+    ]
+    conv = main(args)
+    lut_path = str(tmp_path / "luts.npz")
+    lut1 = main(args + ["--lut", "--lut_path", lut_path])
+    assert os.path.exists(lut_path)
+    lut2 = main(args + ["--lut", "--lut_path", lut_path])  # load branch
+    assert lut1 == lut2
+    assert lut1 == conv  # bit-faithful blocks -> identical argmax/top5
