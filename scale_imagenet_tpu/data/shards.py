@@ -122,9 +122,16 @@ class ShardDataset:
         s, j = self._locate(idx)
         return np.asarray(self._images[s][j]), int(self._labels[s][j])
 
-    def iter_batches(self, batch_size: int, drop_last: bool = False):
+    def iter_batches(self, batch_size: int, drop_last: bool = False,
+                     rank: int = 0, world: int = 1):
         """Yield (images u8 (B,H,W,C), labels i32 (B,)) spanning shard
         boundaries; the trailing short batch unless ``drop_last``.
+
+        ``rank``/``world``: multi-host feeding — each process serves the
+        shards assigned round-robin to its ``rank`` (use
+        ``jax.process_index()/jax.process_count()`` under
+        ``parallel.multihost``), so N hosts decode/read disjoint data at
+        N x the single-host rate.
 
         Shards are read EAGERLY (one sequential read per shard, two shards
         prefetched ahead on reader threads) rather than served off the
@@ -135,16 +142,18 @@ class ShardDataset:
         single-core ceiling; see PERF.md)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        mine = [s for s in range(len(self._paths)) if s % world == rank]
+
         K = 2
         def shard_stream():
             with ThreadPoolExecutor(K) as pool:
-                futs = [pool.submit(_load_npy_fast, p)
-                        for p in self._paths[:K]]
-                for s in range(len(self._paths)):
-                    cur = futs[s].result()
-                    if s + K < len(self._paths):
+                futs = [pool.submit(_load_npy_fast, self._paths[s])
+                        for s in mine[:K]]
+                for j, s in enumerate(mine):
+                    cur = futs[j].result()
+                    if j + K < len(mine):
                         futs.append(pool.submit(_load_npy_fast,
-                                                self._paths[s + K]))
+                                                self._paths[mine[j + K]]))
                     yield cur, self._labels[s]
 
         yield from self._slice_batches(shard_stream(), batch_size,
@@ -175,19 +184,24 @@ class ShardDataset:
                    else np.asarray(lbl_parts[0]))
 
 
-def shard_loader(root: str, batch_size: int, drop_last: bool = False):
-    """Epoch iterable over a shard dir — plugs where DataLoader does."""
+def shard_loader(root: str, batch_size: int, drop_last: bool = False,
+                 rank: int = 0, world: int = 1):
+    """Epoch iterable over a shard dir — plugs where DataLoader does.
+    ``rank``/``world`` select this process's round-robin shard subset
+    (multi-host feeding)."""
     ds = ShardDataset(root)
+    n_local = sum(len(ds._images[s]) for s in range(len(ds._paths))
+                  if s % world == rank)
 
     class _Iter:
         dataset = ds
 
         def __len__(self):
-            n = len(ds)
-            return n // batch_size if drop_last \
-                else (n + batch_size - 1) // batch_size
+            return n_local // batch_size if drop_last \
+                else (n_local + batch_size - 1) // batch_size
 
         def __iter__(self):
-            return ds.iter_batches(batch_size, drop_last)
+            return ds.iter_batches(batch_size, drop_last,
+                                   rank=rank, world=world)
 
     return _Iter()

@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--native_data", action="store_true",
                    help="use the C++ libjpeg loader (faster decode, "
                         "pixel-identical to the PIL pipeline)")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 mixed-precision training: bf16 forward/"
+                        "backward, f32 master params + optimizer")
     p.add_argument("--lut", action="store_true",
                    help="serve the compiled network: truth-table LUT "
                         "blocks (Pallas gather kernel on TPU) instead of "
@@ -284,10 +287,13 @@ def main(argv=None):
         if cfg.stability_eps > 0:
             from .train.steps import make_robust_train_step
 
+            if cfg.amp:
+                raise ValueError("--amp is not supported with robust "
+                                 "(--stability_eps) training")
             train_step = make_robust_train_step(
                 model, tx, cfg.stability_eps, cfg.stability_coeff, mesh)
         else:
-            train_step = make_train_step(model, tx, mesh)
+            train_step = make_train_step(model, tx, mesh, amp=cfg.amp)
         ckpt = CheckpointManager(ckpt_dir)
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
 

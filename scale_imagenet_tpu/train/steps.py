@@ -86,7 +86,8 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
     return eval_step
 
 
-def make_train_step(model, tx, mesh: Mesh | None = None):
+def make_train_step(model, tx, mesh: Mesh | None = None,
+                    amp: bool = False):
     """Returns ``train_step(ts: TrainState, images, labels, key)``.
 
     The multi-device version runs under shard_map — NOT GSPMD: XLA's SPMD
@@ -97,11 +98,31 @@ def make_train_step(model, tx, mesh: Mesh | None = None):
     backward on the local batch (per-process BN statistics — exactly the
     reference's DDP behavior), then ``pmean`` of gradients and metrics
     over 'data'; params replicated over both axes.
+
+    ``amp``: bfloat16 mixed precision — forward/backward run with params,
+    BN state and activations cast to bf16; gradients flow back to the f32
+    master params through the cast (so the SGD/momentum update stays
+    f32), the loss is computed on f32 logits, and the returned BN running
+    stats are re-cast into the f32 carriers.  bf16 has ~3 decimal digits;
+    the BN EMA is a contraction toward current batch stats, so stat drift
+    stays bounded at bf16 rounding (~0.4%) rather than accumulating.
     """
 
     def loss_fn(params, state, images, labels, key):
-        logits, new_state = model.apply(params, state, images,
+        if amp:
+            from ..utils.misc import cast_floating
+
+            fwd_p = cast_floating(params)
+            fwd_s = cast_floating(state)
+            images = images.astype(jnp.bfloat16)
+        else:
+            fwd_p, fwd_s = params, state
+        logits, new_state = model.apply(fwd_p, fwd_s, images,
                                         training=True, key=key)
+        if amp:
+            logits = logits.astype(jnp.float32)
+            new_state = jax.tree.map(lambda a, b: b.astype(a.dtype),
+                                     state, new_state)
         loss = cross_entropy(logits, labels)
         return loss, (new_state, logits)
 

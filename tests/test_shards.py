@@ -114,3 +114,23 @@ def test_device_normalize_equivalence(jpeg_tree, shard_dir):
         # u8->f32/255 is exact; remaining diff is f32 op-order noise
         assert abs(float(mh["loss"]) - float(md["loss"])) < 1e-5
         assert float(mh["top1"]) == float(md["top1"])
+
+
+def test_multihost_rank_partition(shard_dir):
+    """rank/world round-robin: disjoint, exhaustive, order-preserving."""
+    out, meta = shard_dir
+    ds = ShardDataset(out)
+    full = np.concatenate([b[1] for b in ds.iter_batches(3)])
+    parts = []
+    for r in range(2):
+        got = list(ds.iter_batches(3, rank=r, world=2))
+        lbls = np.concatenate([b[1] for b in got]) if got else np.array([])
+        parts.append(lbls)
+        ld = shard_loader(out, 3, rank=r, world=2)
+        assert len(list(ld)) == len(ld)
+    assert sum(len(p) for p in parts) == meta["n"]
+    # shards are assigned round-robin: rank r sees shards r, r+2, ...
+    n_per = [len(img) for img in ds._images]
+    exp0 = np.concatenate([ds._labels[s] for s in range(len(n_per))
+                           if s % 2 == 0])
+    np.testing.assert_array_equal(parts[0], exp0)

@@ -69,7 +69,8 @@ def bench_torch(batch: int, iters: int = 3) -> float:
     return batch / dt
 
 
-def bench_jax(batches: list[int], iters: int = 10) -> dict:
+def bench_jax(batches: list[int], iters: int = 10,
+              amp: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +81,7 @@ def bench_jax(batches: list[int], iters: int = 10) -> dict:
     model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
     params, state = model.init(jax.random.PRNGKey(0))
     tx, _ = make_optimizer(lr=0.1, momentum=0.9, weight_decay=1e-4)
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, amp=amp)
     key = jax.random.PRNGKey(7)
 
     res = {}
@@ -121,6 +122,8 @@ def main():
     ap.add_argument("--torch-only", action="store_true")
     ap.add_argument("--jax-only", action="store_true")
     ap.add_argument("--torch-batch", type=int, default=128)
+    ap.add_argument("--amp", action="store_true",
+                    help="also benchmark the bf16 mixed-precision step")
     args = ap.parse_args()
 
     res = load_existing()
@@ -132,6 +135,9 @@ def main():
               flush=True)
     if not args.torch_only:
         res["jax_tpu"] = bench_jax([32, 64, 128, 256, 512])
+        if args.amp:
+            print("bf16 AMP:", flush=True)
+            res["jax_tpu_amp"] = bench_jax([128, 256, 512], amp=True)
     if "torch_cpu" in res and "jax_tpu" in res:
         best = max(v["img_per_sec"] for v in res["jax_tpu"].values())
         res["vs_torch_cpu"] = best / res["torch_cpu"]["img_per_sec"]
