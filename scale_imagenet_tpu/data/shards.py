@@ -123,7 +123,7 @@ class ShardDataset:
         return np.asarray(self._images[s][j]), int(self._labels[s][j])
 
     def iter_batches(self, batch_size: int, drop_last: bool = False,
-                     rank: int = 0, world: int = 1):
+                     rank: int = 0, world: int = 1, shuffle=None):
         """Yield (images u8 (B,H,W,C), labels i32 (B,)) spanning shard
         boundaries; the trailing short batch unless ``drop_last``.
 
@@ -132,6 +132,11 @@ class ShardDataset:
         ``jax.process_index()/jax.process_count()`` under
         ``parallel.multihost``), so N hosts decode/read disjoint data at
         N x the single-host rate.
+
+        ``shuffle``: optional integer seed — training order: shard order
+        and rows within each loaded shard are permuted (the standard
+        two-level shard shuffle: global within a shard-size window; vary
+        the seed per epoch).
 
         Shards are read EAGERLY (one sequential read per shard, two shards
         prefetched ahead on reader threads) rather than served off the
@@ -143,6 +148,10 @@ class ShardDataset:
         from concurrent.futures import ThreadPoolExecutor
 
         mine = [s for s in range(len(self._paths)) if s % world == rank]
+        rng = None
+        if shuffle is not None:
+            rng = np.random.default_rng(shuffle)
+            mine = [mine[i] for i in rng.permutation(len(mine))]
 
         K = 2
         def shard_stream():
@@ -154,7 +163,11 @@ class ShardDataset:
                     if j + K < len(mine):
                         futs.append(pool.submit(_load_npy_fast,
                                                 self._paths[mine[j + K]]))
-                    yield cur, self._labels[s]
+                    lbl = self._labels[s]
+                    if rng is not None:
+                        perm = rng.permutation(len(cur))
+                        cur, lbl = cur[perm], lbl[perm]
+                    yield cur, lbl
 
         yield from self._slice_batches(shard_stream(), batch_size,
                                        drop_last)
@@ -185,23 +198,30 @@ class ShardDataset:
 
 
 def shard_loader(root: str, batch_size: int, drop_last: bool = False,
-                 rank: int = 0, world: int = 1):
+                 rank: int = 0, world: int = 1, shuffle: bool = False,
+                 seed: int = 0):
     """Epoch iterable over a shard dir — plugs where DataLoader does.
     ``rank``/``world`` select this process's round-robin shard subset
-    (multi-host feeding)."""
+    (multi-host feeding); ``shuffle`` + ``set_epoch`` give the training
+    order (two-level shard shuffle, fresh permutation each epoch)."""
     ds = ShardDataset(root)
     n_local = sum(len(ds._images[s]) for s in range(len(ds._paths))
                   if s % world == rank)
 
     class _Iter:
         dataset = ds
+        _epoch = 0
+
+        def set_epoch(self, epoch: int):
+            self._epoch = epoch
 
         def __len__(self):
             return n_local // batch_size if drop_last \
                 else (n_local + batch_size - 1) // batch_size
 
         def __iter__(self):
-            return ds.iter_batches(batch_size, drop_last,
-                                   rank=rank, world=world)
+            return ds.iter_batches(
+                batch_size, drop_last, rank=rank, world=world,
+                shuffle=(seed + self._epoch) if shuffle else None)
 
     return _Iter()

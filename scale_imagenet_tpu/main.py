@@ -80,8 +80,10 @@ def parse_args(argv=None):
                         "(data/shards.py) instead of decoding JPEGs; "
                         "normalization runs on-device")
     p.add_argument("--write_shards", type=str, default=None,
-                   help="decode data_dir/val once into this shard dir, "
-                        "then exit")
+                   help="decode data_dir/<shards_split> once into this "
+                        "shard dir, then exit")
+    p.add_argument("--shards_split", choices=["val", "train"],
+                   default="val")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -170,7 +172,7 @@ def main(argv=None):
         from .data.shards import write_shards
         from .data.transforms import imagenet_eval_crop_u8
 
-        src = ImageFolder(os.path.join(cfg.data_dir, "val"),
+        src = ImageFolder(os.path.join(cfg.data_dir, cfg.shards_split),
                           imagenet_eval_crop_u8)
         meta = write_shards(src, cfg.write_shards,
                             num_workers=cfg.num_workers)
@@ -269,11 +271,24 @@ def main(argv=None):
     from .runtime.checkpoint import CheckpointManager
     from .train import TrainState, make_optimizer, make_train_step
 
-    train_ds = ImageFolder(os.path.join(cfg.data_dir, "train"),
-                           imagenet_train_transform)
-    loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
-                        num_workers=cfg.num_workers, drop_last=True,
-                        seed=cfg.seed)
+    train_kwargs = {}
+    if cfg.shards_dir:
+        # pre-decoded uint8 shards: normalize + random-flip on device
+        # (RandomResizedCrop/ColorJitter need the JPEG path — this is the
+        # fast-feeding approximation, data/shards.py)
+        from .data.shards import shard_loader
+        from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        loader = shard_loader(cfg.shards_dir, cfg.train_batch_size,
+                              drop_last=True, shuffle=True, seed=cfg.seed)
+        train_kwargs = dict(normalize=(IMAGENET_MEAN, IMAGENET_STD),
+                            augment=True)
+    else:
+        train_ds = ImageFolder(os.path.join(cfg.data_dir, "train"),
+                               imagenet_train_transform)
+        loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
+                            num_workers=cfg.num_workers, drop_last=True,
+                            seed=cfg.seed)
     steps_per_epoch = len(loader)
     tx, schedule = make_optimizer(cfg.lr, weight_decay=cfg.wd,
                                   milestones=(30, 60, 90),
@@ -293,7 +308,8 @@ def main(argv=None):
             train_step = make_robust_train_step(
                 model, tx, cfg.stability_eps, cfg.stability_coeff, mesh)
         else:
-            train_step = make_train_step(model, tx, mesh, amp=cfg.amp)
+            train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
+                                         **train_kwargs)
         ckpt = CheckpointManager(ckpt_dir)
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
 

@@ -87,7 +87,8 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
 
 
 def make_train_step(model, tx, mesh: Mesh | None = None,
-                    amp: bool = False):
+                    amp: bool = False, normalize=None,
+                    augment: bool = False):
     """Returns ``train_step(ts: TrainState, images, labels, key)``.
 
     The multi-device version runs under shard_map — NOT GSPMD: XLA's SPMD
@@ -106,9 +107,25 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
     stats are re-cast into the f32 carriers.  bf16 has ~3 decimal digits;
     the BN EMA is a contraction toward current batch stats, so stat drift
     stays bounded at bf16 rounding (~0.4%) rather than accumulating.
+
+    ``normalize``: optional ``(mean, std)`` — uint8 batches (the shard
+    pipeline) normalize on-device.  ``augment``: per-sample random
+    horizontal flip on-device (the shard-training augmentation; the full
+    RandomResizedCrop+jitter recipe needs the JPEG path).
     """
 
+    if normalize is not None:
+        _mean = jnp.asarray(normalize[0], jnp.float32)
+        _std = jnp.asarray(normalize[1], jnp.float32)
+
     def loss_fn(params, state, images, labels, key):
+        if normalize is not None:
+            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
+        if augment:
+            key, fkey = jax.random.split(key)
+            flip = jax.random.bernoulli(fkey, 0.5, (images.shape[0],))
+            images = jnp.where(flip[:, None, None, None],
+                               images[:, :, ::-1, :], images)
         if amp:
             from ..utils.misc import cast_floating
 

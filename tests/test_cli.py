@@ -84,3 +84,22 @@ def test_cli_lut_serving(fake_imagenet, tmp_path):
     lut2 = main(args + ["--lut", "--lut_path", lut_path])  # load branch
     assert lut1 == lut2
     assert lut1 == conv  # bit-faithful blocks -> identical argmax/top5
+
+
+def test_cli_shard_training(fake_imagenet, tmp_path):
+    """--mode train --shards_dir: shard-fed training with on-device
+    normalize + flip; one epoch end-to-end through the CLI."""
+    shards = str(tmp_path / "train_shards")
+    main(["--mode", "eval", "--data_dir", fake_imagenet,
+          "--write_shards", shards, "--shards_split", "val",
+          "--num_workers", "2", "--root_dir", str(tmp_path)])
+    main([
+        "--mode", "train", "--shards_dir", shards,
+        "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--train_batch_size", "4", "--max_epochs", "1",
+        "--root_dir", str(tmp_path), "--mesh_data", "1",
+        "--log_interval", "1", "--amp",
+    ])
+    ckpt_root = tmp_path / "ckpt"
+    assert any(ckpt_root.rglob("*")), "no checkpoint written"

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from scale_imagenet_tpu.data import (DataLoader, ImageFolder,
                                      imagenet_eval_transform)
@@ -134,3 +135,64 @@ def test_multihost_rank_partition(shard_dir):
     exp0 = np.concatenate([ds._labels[s] for s in range(len(n_per))
                            if s % 2 == 0])
     np.testing.assert_array_equal(parts[0], exp0)
+
+
+def test_shuffle_epochs_differ_same_multiset(shard_dir):
+    out, meta = shard_dir
+    ld = shard_loader(out, 3, shuffle=True, seed=1)
+    ld.set_epoch(0)
+    e0 = np.concatenate([b[1] for b in ld])
+    ld.set_epoch(1)
+    e1 = np.concatenate([b[1] for b in ld])
+    assert len(e0) == len(e1) == meta["n"]
+    np.testing.assert_array_equal(np.sort(e0), np.sort(e1))
+    assert not np.array_equal(e0, e1)  # 10 items, 2 classes: orders differ
+    ld.set_epoch(0)                    # same epoch -> same order
+    np.testing.assert_array_equal(
+        e0, np.concatenate([b[1] for b in ld]))
+
+
+def test_shard_train_step(jpeg_tree, shard_dir):
+    """Train from u8 shards: on-device normalize + flip; without the flip
+    the loss matches the host-normalized f32 step exactly."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.train import make_optimizer
+    from scale_imagenet_tpu.train.steps import TrainState, make_train_step
+    from scale_imagenet_tpu.data.transforms import imagenet_eval_transform
+
+    src_dir, _ = jpeg_tree
+    out, _ = shard_dir
+    model = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4,
+                      layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(lr=0.1)
+
+    def ts():
+        p = jax.tree.map(jnp.array, params)
+        return TrainState(p, jax.tree.map(jnp.array, state), tx.init(p),
+                          jnp.zeros((), jnp.int32))
+
+    sx, sy = next(iter(shard_loader(out, 5, drop_last=True)))
+    hx = np.stack([imagenet_eval_transform(_open_rgb(p))
+                   for p, _ in ImageFolder(src_dir).samples[:5]])
+
+    k = jax.random.PRNGKey(9)
+    step_host = make_train_step(model, tx)
+    step_shard = make_train_step(
+        model, tx, normalize=(IMAGENET_MEAN, IMAGENET_STD))
+    _, mh = step_host(ts(), hx, sy, k)
+    _, ms = step_shard(ts(), sx, sy, k)
+    assert abs(float(mh["loss"]) - float(ms["loss"])) < 1e-5
+
+    # with augmentation: runs, finite, and flips change the loss for some key
+    step_aug = make_train_step(
+        model, tx, normalize=(IMAGENET_MEAN, IMAGENET_STD), augment=True)
+    _, ma = step_aug(ts(), sx, sy, k)
+    assert np.isfinite(float(ma["loss"]))
+
+
+def _open_rgb(path):
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return im.convert("RGB")
