@@ -9,23 +9,37 @@ from ..train.metrics import AverageMeter
 
 def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
              log_interval: int = 40, verbose: bool = True):
-    """Run one evaluation epoch; returns (top1, top5, loss) averages."""
+    """Run one evaluation epoch; returns (top1, top5, loss) averages.
+
+    Per-batch metrics stay ON DEVICE until a log point or the end of the
+    epoch: ``float()`` on a fresh result is a host sync, and a sync per
+    batch serializes the device with the host/tunnel round-trip (~37 ms
+    here) — deferring it keeps the dispatch queue full, which is what
+    lets prefetched batches overlap with compute.
+    """
     batch_time = AverageMeter("Time", ":6.3f")
     losses = AverageMeter("Loss", ":.4e")
     top1 = AverageMeter("Acc@1", ":6.2f")
     top5 = AverageMeter("Acc@5", ":6.2f")
 
+    pending = []  # device-side metric dicts not yet folded into meters
+
+    def drain():
+        for m in pending:
+            n = int(m["n"])
+            losses.update(float(m["loss"]), n)
+            top1.update(float(m["top1"]), n)
+            top5.update(float(m["top5"]), n)
+        pending.clear()
+
     end = time.time()
     for batch_idx, (images, labels) in enumerate(loader):
-        metrics = eval_step(params, state, images, labels)
-        n = int(metrics["n"])
-        losses.update(float(metrics["loss"]), n)
-        top1.update(float(metrics["top1"]), n)
-        top5.update(float(metrics["top5"]), n)
+        pending.append(eval_step(params, state, images, labels))
         batch_time.update(time.time() - end)
         end = time.time()
 
         if verbose and batch_idx % log_interval == 0:
+            drain()
             print(f"eval [{batch_idx}] loss {losses.avg:.3f} "
                   f"acc1 {top1.avg:.3f}% acc5 {top5.avg:.3f}% "
                   f"({batch_time.avg * 1000:.0f} ms/batch)")
@@ -34,6 +48,7 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
                 logger.add_scalar("Loss/test", losses.avg, step)
                 logger.add_scalar("Accuracy/test", top1.avg, step)
 
+    drain()
     if verbose:
         print(f"Acc.. {top1.avg} {top5.avg}")
     return top1.avg, top5.avg, losses.avg
