@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--native_data", action="store_true",
                    help="use the C++ libjpeg loader (faster decode, "
                         "pixel-identical to the PIL pipeline)")
+    p.add_argument("--tp", action="store_true",
+                   help="channel-group tensor-parallel eval over the "
+                        "'model' mesh axis (shard_map; zero model-axis "
+                        "communication through the block stack)")
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: bf16 forward/"
                         "backward, f32 master params + optimizer")
@@ -254,11 +258,18 @@ def main(argv=None):
         print(f"eval dataset: {len(ds)} images / {len(ds.classes)} classes")
         loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
                             num_workers=cfg.num_workers, drop_last=True)
-        # key: required by stochastic-eval models (T_test != 0, e.g.
-        # tt_certif); T=0 models never consume it.  A fresh subkey is
-        # folded in per batch inside the step.
-        eval_step = make_eval_step(model, mesh,
-                                   key=jax.random.PRNGKey(cfg.seed))
+        if cfg.tp:
+            from .parallel.tp import make_tp_eval_step, shard_params_tp
+
+            params = shard_params_tp(params, mesh)
+            state = shard_params_tp(state, mesh)
+            eval_step = make_tp_eval_step(model, mesh)
+        else:
+            # key: required by stochastic-eval models (T_test != 0, e.g.
+            # tt_certif); T=0 models never consume it.  A fresh subkey is
+            # folded in per batch inside the step.
+            eval_step = make_eval_step(model, mesh,
+                                       key=jax.random.PRNGKey(cfg.seed))
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
         top1, top5, loss = evaluate(
             eval_step, params, state,

@@ -103,3 +103,18 @@ def test_cli_shard_training(fake_imagenet, tmp_path):
     ])
     ckpt_root = tmp_path / "ckpt"
     assert any(ckpt_root.rglob("*")), "no checkpoint written"
+
+
+def test_cli_tp_eval(fake_imagenet, tmp_path):
+    """--tp: channel-group tensor-parallel eval through the CLI on a
+    4x2 virtual mesh, same result as the GSPMD data-parallel path."""
+    args = [
+        "--mode", "eval", "--data_dir", fake_imagenet,
+        "--model", "ttnet_imagenet_small",
+        "--nfilter", "8", "--tfilter", "4", "--layers", "0",  # p=32
+        "--eval_batch_size", "8", "--num_workers", "2",
+        "--root_dir", str(tmp_path), "--mesh_data", "4", "--mesh_model", "2",
+    ]
+    dp = main(args)
+    tp = main(args + ["--tp"])
+    assert tp == dp
