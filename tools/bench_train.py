@@ -139,7 +139,9 @@ def main():
             print("bf16 AMP:", flush=True)
             res["jax_tpu_amp"] = bench_jax([128, 256, 512], amp=True)
     if "torch_cpu" in res and "jax_tpu" in res:
-        best = max(v["img_per_sec"] for v in res["jax_tpu"].values())
+        pools = list(res["jax_tpu"].values()) + \
+            list(res.get("jax_tpu_amp", {}).values())
+        best = max(v["img_per_sec"] for v in pools)
         res["vs_torch_cpu"] = best / res["torch_cpu"]["img_per_sec"]
         print(f"best TPU {best:.0f} img/s = "
               f"{res['vs_torch_cpu']:.0f}x torch-CPU", flush=True)
