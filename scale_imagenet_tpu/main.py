@@ -310,6 +310,23 @@ def main(argv=None):
         state = jax.device_put(state)
         ts = TrainState(params, state, tx.init(params),
                         jnp.zeros((), jnp.int32))
+        if cfg.ckpt and not cfg.ckpt.endswith((".pth", ".t7")):
+            # full resume: optimizer state (momentum) + step counter ride
+            # along in native checkpoints; torch .pth has weights only
+            from .runtime.checkpoint import load_checkpoint
+
+            try:
+                payload = load_checkpoint(cfg.ckpt, like={
+                    "params": ts.params, "state": ts.model_state,
+                    "opt_state": ts.opt_state, "step": ts.step})
+                ts = TrainState(jax.device_put(payload["params"]),
+                                jax.device_put(payload["state"]),
+                                jax.device_put(payload["opt_state"]),
+                                jnp.asarray(payload["step"], jnp.int32))
+                print(f"resumed full train state at step {int(ts.step)}")
+            except Exception as e:  # params/state-only checkpoint
+                print("checkpoint has no optimizer state "
+                      f"({type(e).__name__}); starting optimizer fresh")
         if cfg.stability_eps > 0:
             from .train.steps import make_robust_train_step
 
@@ -326,7 +343,8 @@ def main(argv=None):
 
         key = jax.random.PRNGKey(cfg.seed)
         try:
-            for epoch in range(cfg.max_epochs):
+            start_epoch = int(ts.step) // max(steps_per_epoch, 1)
+            for epoch in range(start_epoch, cfg.max_epochs):
                 loader.set_epoch(epoch)
                 for i, (images, labels) in enumerate(
                         device_prefetch(iter(loader), sharding=shardings)):

@@ -118,3 +118,25 @@ def test_cli_tp_eval(fake_imagenet, tmp_path):
     dp = main(args)
     tp = main(args + ["--tp"])
     assert tp == dp
+
+
+def test_cli_train_resume(fake_imagenet, tmp_path, capsys):
+    """--ckpt pointing at a native checkpoint resumes the FULL train
+    state (optimizer momentum + step counter), not just weights."""
+    shards = str(tmp_path / "shards")
+    main(["--mode", "eval", "--data_dir", fake_imagenet,
+          "--write_shards", shards, "--num_workers", "2",
+          "--root_dir", str(tmp_path)])
+    args = [
+        "--mode", "train", "--shards_dir", shards,
+        "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--train_batch_size", "4", "--root_dir", str(tmp_path),
+        "--mesh_data", "1", "--log_interval", "1",
+    ]
+    main(args + ["--max_epochs", "1"])
+    last = sorted((tmp_path / "ckpt").rglob("step_*"))[-1]
+    capsys.readouterr()
+    main(args + ["--max_epochs", "2", "--ckpt", str(last)])
+    out = capsys.readouterr().out
+    assert "resumed full train state at step 3" in out, out
