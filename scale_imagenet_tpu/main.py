@@ -229,6 +229,10 @@ def main(argv=None):
             params = cast_floating(params)
             state = cast_floating(state)
         if cfg.lut:
+            if cfg.tp:
+                raise ValueError("--tp runs the conv-mode forward; "
+                                 "combine it with --lut once the TP LUT "
+                                 "path exists (serve --lut without --tp)")
             model = _as_lut_model(model, params, state, cfg.lut_path)
         if cfg.shards_dir:
             from .data.shards import shard_loader

@@ -1,0 +1,99 @@
+"""Serving-mode benchmark on one TPU chip: conv f32, conv bf16 (--bf16),
+compiled-LUT (Pallas gather), plus single-image latency.
+
+All measurements are in-graph fori_loops with a chained accumulator and a
+final host read (the axon tunnel's per-dispatch latency would otherwise
+dominate; see results/PERF.md).  Writes results/serve_bench.json.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serve.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                   "results", "serve_bench.json")
+ITERS = 10
+
+
+def in_graph_ms(apply_fn, params, state, x) -> float:
+    @jax.jit
+    def loop(params, state, x):
+        def body(i, acc):
+            logits = apply_fn(params, state,
+                              x + (acc * 0.0).astype(x.dtype))
+            return acc + logits[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+    x = jax.device_put(x)
+    float(loop(params, state, x))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(params, state, x))
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+def main():
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.utils import cast_floating
+
+    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
+                      layers=1)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def conv_apply(p, s, x):
+        return model.apply(p, s, x, training=False)[0]
+
+    res = {}
+    for B in (1, 256):
+        x = jax.random.uniform(jax.random.PRNGKey(1), (B, 224, 224, 3),
+                               jnp.float32)
+        ms = in_graph_ms(conv_apply, params, state, x)
+        res[f"conv_f32_b{B}"] = {"ms_per_batch": ms,
+                                 "img_per_sec": B / ms * 1e3}
+        print(f"conv f32   B={B:3d}: {ms:8.2f} ms  {B/ms*1e3:8.0f} img/s",
+              flush=True)
+
+    pb, sb = cast_floating(params), cast_floating(state)
+    xb = jax.random.uniform(jax.random.PRNGKey(1), (256, 224, 224, 3),
+                            jnp.float32).astype(jnp.bfloat16)
+    ms = in_graph_ms(conv_apply, pb, sb, xb)
+    res["conv_bf16_b256"] = {"ms_per_batch": ms,
+                             "img_per_sec": 256 / ms * 1e3}
+    print(f"conv bf16  B=256: {ms:8.2f} ms  {256/ms*1e3:8.0f} img/s",
+          flush=True)
+
+    print("compiling truth tables...", flush=True)
+    from scale_imagenet_tpu.compile import compile_ttnet_lut, \
+        lut_ttnet_apply
+
+    t0 = time.perf_counter()
+    luts = compile_ttnet_lut(params, state, model.config)
+    res["lut_compile_s"] = time.perf_counter() - t0
+    luts = jax.device_put(luts)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 224, 224, 3),
+                           jnp.float32)
+
+    def lut_apply(p, s, xx):
+        return lut_ttnet_apply(luts, p, s, model.config, xx)
+
+    ms = in_graph_ms(lut_apply, params, state, x)
+    res["lut_pallas_b256"] = {"ms_per_batch": ms,
+                              "img_per_sec": 256 / ms * 1e3}
+    print(f"lut pallas B=256: {ms:8.2f} ms  {256/ms*1e3:8.0f} img/s",
+          flush=True)
+
+    with open(os.path.abspath(OUT), "w") as fh:
+        json.dump(res, fh, indent=1)
+    print(f"wrote {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
