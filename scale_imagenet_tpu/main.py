@@ -88,6 +88,9 @@ def parse_args(argv=None):
                         "shard dir, then exit")
     p.add_argument("--shards_split", choices=["val", "train"],
                    default="val")
+    p.add_argument("--eval_shards_dir", type=str, default=None,
+                   help="pre-decoded val shards for per-epoch validation "
+                        "during training")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -345,6 +348,38 @@ def main(argv=None):
         ckpt = CheckpointManager(ckpt_dir)
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
 
+        # per-epoch validation + best-checkpoint tracking (the reference's
+        # test() call in main_worker, main.py:150-200): from eval shards
+        # (--eval_shards_dir) or data_dir/val when either exists
+        def make_validator():
+            if cfg.eval_shards_dir:
+                from .data.shards import shard_loader as _sl
+                from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+                ld = _sl(cfg.eval_shards_dir, cfg.eval_batch_size,
+                         drop_last=True)
+                estep = make_eval_step(
+                    model, mesh, normalize=(IMAGENET_MEAN, IMAGENET_STD))
+            else:
+                val_dir = os.path.join(cfg.data_dir, "val")
+                if not os.path.isdir(val_dir):
+                    return None
+                ld = DataLoader(ImageFolder(val_dir,
+                                            imagenet_eval_transform),
+                                cfg.eval_batch_size, drop_last=True,
+                                num_workers=cfg.num_workers)
+                estep = make_eval_step(model, mesh)
+
+            def validate(params, state, epoch):
+                return evaluate(estep, params, state,
+                                device_prefetch(iter(ld),
+                                                sharding=shardings),
+                                logger=logger, epoch=epoch,
+                                log_interval=cfg.log_interval,
+                                verbose=False)
+            return validate
+
+        validator = make_validator()
         key = jax.random.PRNGKey(cfg.seed)
         try:
             start_epoch = int(ts.step) // max(steps_per_epoch, 1)
@@ -363,9 +398,18 @@ def main(argv=None):
                         logger.add_scalar("Loss/train", loss, step)
                         logger.add_scalar("Accuracy/train",
                                           float(metrics["top1"]), step)
+                metric = None
+                if validator is not None:
+                    top1, top5, vloss = validator(ts.params,
+                                                  ts.model_state, epoch)
+                    print(f"epoch {epoch} val: top1 {top1:.3f}% "
+                          f"top5 {top5:.3f}% loss {vloss:.4f}")
+                    logger.add_scalar("Accuracy/val", top1, epoch)
+                    metric = top1
                 ckpt.save(int(ts.step), {
                     "params": ts.params, "state": ts.model_state,
-                    "opt_state": ts.opt_state, "step": int(ts.step)})
+                    "opt_state": ts.opt_state, "step": int(ts.step)},
+                    metric=metric)
         except (KeyboardInterrupt, Exception):
             # failure containment the reference lacks entirely: snapshot
             # the full train state so the run resumes from the crash point

@@ -140,3 +140,25 @@ def test_cli_train_resume(fake_imagenet, tmp_path, capsys):
     main(args + ["--max_epochs", "2", "--ckpt", str(last)])
     out = capsys.readouterr().out
     assert "resumed full train state at step 3" in out, out
+
+
+def test_cli_train_with_validation(fake_imagenet, tmp_path, capsys):
+    """Per-epoch validation + best-checkpoint tracking during training
+    (the reference's test() call each epoch)."""
+    shards = str(tmp_path / "shards")
+    main(["--mode", "eval", "--data_dir", fake_imagenet,
+          "--write_shards", shards, "--num_workers", "2",
+          "--root_dir", str(tmp_path)])
+    capsys.readouterr()
+    main([
+        "--mode", "train", "--shards_dir", shards,
+        "--eval_shards_dir", shards,
+        "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--train_batch_size", "4", "--eval_batch_size", "4",
+        "--max_epochs", "1", "--root_dir", str(tmp_path),
+        "--mesh_data", "1", "--log_interval", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "val: top1" in out, out
+    assert any(p.name == "best" for p in (tmp_path / "ckpt").rglob("*"))
