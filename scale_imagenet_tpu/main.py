@@ -341,7 +341,8 @@ def main(argv=None):
                 raise ValueError("--amp is not supported with robust "
                                  "(--stability_eps) training")
             train_step = make_robust_train_step(
-                model, tx, cfg.stability_eps, cfg.stability_coeff, mesh)
+                model, tx, cfg.stability_eps, cfg.stability_coeff, mesh,
+                **train_kwargs)
         else:
             train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
                                          **train_kwargs)

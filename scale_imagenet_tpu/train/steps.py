@@ -180,14 +180,27 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
 
 
 def make_robust_train_step(model, tx, eps: float, coeff: float,
-                           mesh: Mesh | None = None):
+                           mesh: Mesh | None = None, normalize=None,
+                           augment: bool = False):
     """Training step with the multi-sample activation-stability loss
     (the reference's robust-training recipe: CE + coeff * rsloss,
     netbin.py:710-724).  The natural batch doubles as its own adversarial
-    sample; plug in an attack upstream for adversarial training."""
+    sample; plug in an attack upstream for adversarial training.
+    ``normalize``/``augment``: see make_train_step (the shard pipeline)."""
     from ..robust.collect import multi_sample_forward
 
+    if normalize is not None:
+        _mean = jnp.asarray(normalize[0], jnp.float32)
+        _std = jnp.asarray(normalize[1], jnp.float32)
+
     def loss_fn(params, state, images, labels, key):
+        if normalize is not None:
+            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
+        if augment:
+            key, fkey = jax.random.split(key)
+            flip = jax.random.bernoulli(fkey, 0.5, (images.shape[0],))
+            images = jnp.where(flip[:, None, None, None],
+                               images[:, :, ::-1, :], images)
         logits, sloss = multi_sample_forward(model, params, state, images,
                                              images, eps, key)
         _, new_state = model.apply(params, state, images, training=True,

@@ -196,3 +196,27 @@ def _open_rgb(path):
 
     with Image.open(path) as im:
         return im.convert("RGB")
+
+
+def test_robust_shard_train_step(shard_dir):
+    """Robust (stability-loss) training from u8 shards: normalize applies
+    inside the step (without it the u8 batch trains on garbage scale)."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.train import make_optimizer
+    from scale_imagenet_tpu.train.steps import (TrainState,
+                                                make_robust_train_step)
+
+    out, _ = shard_dir
+    model = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4,
+                      layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(lr=0.1)
+    ts = TrainState(params, state, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    sx, sy = next(iter(shard_loader(out, 5, drop_last=True)))
+    step = make_robust_train_step(
+        model, tx, eps=0.01, coeff=1e-4,
+        normalize=(IMAGENET_MEAN, IMAGENET_STD), augment=True)
+    _, m = step(ts, sx, sy, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["stability_loss"]))
