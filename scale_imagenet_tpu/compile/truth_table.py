@@ -61,7 +61,12 @@ def block_truth_table(params, state, cfg: BlockTTConfig,
                       chunk: int = 8192) -> np.ndarray:
     """(2^n, out_planes) block response table, computed on device in
     chunks.  The block is evaluated in eval mode with no padding (valid,
-    single output position) and no input-mask noise."""
+    single output position) and no input-mask noise.  Runs under
+    ``config.exact_numerics()``: tables are erf-exact reference semantics
+    on every backend (the TPU fast-GELU would otherwise flip rows whose
+    pre-activation sits within ~1e-6 of the Heaviside threshold)."""
+    from ..config import exact_numerics
+
     pats = enumerate_patterns(cfg)
 
     @jax.jit
@@ -71,8 +76,9 @@ def block_truth_table(params, state, cfg: BlockTTConfig,
         return y.reshape(x.shape[0], -1, y.shape[-1])[:, 0, :]
 
     outs = []
-    for i in range(0, pats.shape[0], chunk):
-        outs.append(np.asarray(run(jnp.asarray(pats[i:i + chunk]))))
+    with exact_numerics():
+        for i in range(0, pats.shape[0], chunk):
+            outs.append(np.asarray(run(jnp.asarray(pats[i:i + chunk]))))
     return np.concatenate(outs, axis=0)
 
 

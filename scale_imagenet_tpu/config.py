@@ -62,6 +62,26 @@ class PerformanceConfig:
 performance = PerformanceConfig()
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def exact_numerics():
+    """Disable the TPU eval fast paths (polynomial GELU, fused kernels)
+    for the duration — the truth-table compiler runs under this so the
+    extracted tables are erf-exact reference semantics regardless of
+    backend (a table row flips when a pre-activation sits within ~1e-6
+    of the Heaviside threshold, and compiled artifacts must not depend
+    on where they were compiled)."""
+    saved = (performance.fast_gelu, performance.fused_pointwise_blocks)
+    performance.fast_gelu = False
+    performance.fused_pointwise_blocks = False
+    try:
+        yield
+    finally:
+        performance.fast_gelu, performance.fused_pointwise_blocks = saved
+
+
 def scale_channels(x: int) -> int:
     """Channel width scaling (netbin.py:81-82)."""
     return max(int(round(x * numerics.channel_scale)), 1)

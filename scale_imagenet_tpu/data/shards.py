@@ -131,7 +131,11 @@ class ShardDataset:
         shards assigned round-robin to its ``rank`` (use
         ``jax.process_index()/jax.process_count()`` under
         ``parallel.multihost``), so N hosts decode/read disjoint data at
-        N x the single-host rate.
+        N x the single-host rate.  Every rank is truncated to the
+        GLOBAL minimum batch count: ranks march in lockstep through
+        collective global-batch assembly, so a rank with one extra
+        shard/batch would deadlock the others (each rank can compute
+        every rank's count from the shared metadata, no communication).
 
         ``shuffle``: optional integer seed — training order: shard order
         and rows within each loaded shard are permuted (the standard
@@ -169,8 +173,26 @@ class ShardDataset:
                         cur, lbl = cur[perm], lbl[perm]
                     yield cur, lbl
 
-        yield from self._slice_batches(shard_stream(), batch_size,
-                                       drop_last)
+        it = self._slice_batches(shard_stream(), batch_size, drop_last)
+        if world > 1:
+            cap = self.rank_batches(batch_size, drop_last, world)
+            for _, batch in zip(range(cap), it):
+                yield batch
+            it.close()   # stop the prefetch threads
+        else:
+            yield from it
+
+    def rank_batches(self, batch_size: int, drop_last: bool,
+                     world: int) -> int:
+        """min over ranks of the per-rank batch count — the lockstep
+        truncation every rank applies independently."""
+        counts = []
+        for r in range(world):
+            n = sum(len(self._images[s]) for s in range(len(self._paths))
+                    if s % world == r)
+            counts.append(n // batch_size if drop_last
+                          else -(-n // batch_size))
+        return min(counts) if counts else 0
 
     def _slice_batches(self, shards, batch_size, drop_last):
         img_parts, lbl_parts, have = [], [], 0
@@ -205,8 +227,7 @@ def shard_loader(root: str, batch_size: int, drop_last: bool = False,
     (multi-host feeding); ``shuffle`` + ``set_epoch`` give the training
     order (two-level shard shuffle, fresh permutation each epoch)."""
     ds = ShardDataset(root)
-    n_local = sum(len(ds._images[s]) for s in range(len(ds._paths))
-                  if s % world == rank)
+    n_batches = ds.rank_batches(batch_size, drop_last, world)
 
     class _Iter:
         dataset = ds
@@ -216,8 +237,7 @@ def shard_loader(root: str, batch_size: int, drop_last: bool = False,
             self._epoch = epoch
 
         def __len__(self):
-            return n_local // batch_size if drop_last \
-                else (n_local + batch_size - 1) // batch_size
+            return n_batches
 
         def __iter__(self):
             return ds.iter_batches(

@@ -137,6 +137,8 @@ def _as_lut_model(model, params, state, lut_path=None):
     if not isinstance(model.config, TTnetImageNetConfig):
         raise ValueError("--lut serving supports the ttnet_imagenet "
                          f"family, not {type(model.config).__name__}")
+    if lut_path and not lut_path.endswith(".npz"):
+        lut_path += ".npz"   # np.savez appends it; keep load/save agreed
     if lut_path and _os.path.exists(lut_path):
         print(f"loading LUTs from {lut_path}")
         luts = load_luts(lut_path, model.config)
@@ -147,15 +149,23 @@ def _as_lut_model(model, params, state, lut_path=None):
             save_luts(lut_path, luts)
             print(f"saved LUTs -> {lut_path}")
 
+    # The tables ride INSIDE the params pytree so they enter every jitted
+    # step as runtime arguments — closing over them would bake gigabytes
+    # of table data into the program body as constants (the design note
+    # at compile/lut_eval.py applies to any jit wrapping this model).
     class _LutModel:
         name = model.name + "+lut"
         config = model.config
 
         @staticmethod
+        def wrap_params(params):
+            return {"model": params, "luts": luts}
+
+        @staticmethod
         def apply(params, state, x, training=False, key=None):
             del training, key
-            return lut_ttnet_apply(luts, params, state, model.config, x), \
-                state
+            return lut_ttnet_apply(params["luts"], params["model"], state,
+                                   model.config, x), state
 
     return _LutModel()
 
@@ -227,6 +237,10 @@ def main(argv=None):
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         if cfg.bf16:
+            if cfg.lut:
+                raise ValueError(
+                    "--bf16 applies to conv-mode serving; LUT serving is "
+                    "integer-table execution (its float stem stays f32)")
             from .utils import cast_floating
 
             params = cast_floating(params)
@@ -237,46 +251,46 @@ def main(argv=None):
                                  "combine it with --lut once the TP LUT "
                                  "path exists (serve --lut without --tp)")
             model = _as_lut_model(model, params, state, cfg.lut_path)
+            params = model.wrap_params(params)
+
+        # input source
+        normalize = None
         if cfg.shards_dir:
             from .data.shards import shard_loader
             from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
             loader = shard_loader(cfg.shards_dir, cfg.eval_batch_size,
                                   drop_last=True)
+            normalize = (IMAGENET_MEAN, IMAGENET_STD)
             print(f"eval shards: {len(loader.dataset)} images")
-            eval_step = make_eval_step(
-                model, mesh, key=jax.random.PRNGKey(cfg.seed),
-                normalize=(IMAGENET_MEAN, IMAGENET_STD))
-            shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
-            top1, top5, loss = evaluate(
-                eval_step, params, state,
-                device_prefetch(iter(loader), sharding=shardings),
-                logger=logger, log_interval=cfg.log_interval)
-            print(f"final: top1 {top1:.3f}% top5 {top5:.3f}% "
-                  f"loss {loss:.4f}")
-            return top1, top5
-        if cfg.native_data:
-            from .native.ttdata import NativeImageFolder
-
-            ds = NativeImageFolder(os.path.join(cfg.data_dir, "val"))
         else:
-            ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
-                             imagenet_eval_transform)
-        print(f"eval dataset: {len(ds)} images / {len(ds.classes)} classes")
-        loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
-                            num_workers=cfg.num_workers, drop_last=True)
+            if cfg.native_data:
+                from .native.ttdata import NativeImageFolder
+
+                ds = NativeImageFolder(os.path.join(cfg.data_dir, "val"))
+            else:
+                ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
+                                 imagenet_eval_transform)
+            print(f"eval dataset: {len(ds)} images / "
+                  f"{len(ds.classes)} classes")
+            loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
+                                num_workers=cfg.num_workers, drop_last=True)
+
+        # step flavor
         if cfg.tp:
             from .parallel.tp import make_tp_eval_step, shard_params_tp
 
             params = shard_params_tp(params, mesh)
             state = shard_params_tp(state, mesh)
-            eval_step = make_tp_eval_step(model, mesh)
+            eval_step = make_tp_eval_step(model, mesh, normalize=normalize)
         else:
             # key: required by stochastic-eval models (T_test != 0, e.g.
             # tt_certif); T=0 models never consume it.  A fresh subkey is
             # folded in per batch inside the step.
             eval_step = make_eval_step(model, mesh,
-                                       key=jax.random.PRNGKey(cfg.seed))
+                                       key=jax.random.PRNGKey(cfg.seed),
+                                       normalize=normalize)
+
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
         top1, top5, loss = evaluate(
             eval_step, params, state,

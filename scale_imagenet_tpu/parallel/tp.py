@@ -103,12 +103,17 @@ def _forward_local(params, state, lcfg, x, training, key):
     return logits, new_state
 
 
-def make_tp_eval_step(model, mesh: Mesh):
+def make_tp_eval_step(model, mesh: Mesh, normalize=None):
     """shard_map'd eval step; params must be sharded via shard_params_tp
-    and batches sharded over 'data'."""
+    and batches sharded over 'data'.  ``normalize``: on-device uint8
+    normalization for the shard pipeline (train.steps.make_input_pipeline)."""
+    from ..train.steps import make_input_pipeline
+
     lcfg = local_config(model.config, mesh.shape["model"])
+    prepare = make_input_pipeline(normalize)
 
     def step(params, state, images, labels):
+        images, _ = prepare(images)
         logits, _ = _forward_local(params, state, lcfg, images,
                                    training=False, key=None)
         # logits replicated over 'model'; metrics averaged over 'data'

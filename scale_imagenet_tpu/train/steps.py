@@ -26,6 +26,29 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def make_input_pipeline(normalize=None, augment: bool = False):
+    """The on-device input stage shared by every step factory: optional
+    uint8 normalization (the shard pipeline: u8 -> f32/255 -> (x-m)/s,
+    exact) and optional per-sample random horizontal flip.  Returns
+    ``prepare(images, key) -> (images, key)`` — ``key`` is split when the
+    flip consumes randomness so callers pass the remainder onward."""
+    if normalize is not None:
+        _mean = jnp.asarray(normalize[0], jnp.float32)
+        _std = jnp.asarray(normalize[1], jnp.float32)
+
+    def prepare(images, key=None):
+        if normalize is not None:
+            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
+        if augment:
+            key, fkey = jax.random.split(key)
+            flip = jax.random.bernoulli(fkey, 0.5, (images.shape[0],))
+            images = jnp.where(flip[:, None, None, None],
+                               images[:, :, ::-1, :], images)
+        return images, key
+
+    return prepare
+
+
 def make_eval_step(model, mesh: Mesh | None = None, key=None,
                    normalize=None):
     """Returns ``eval_step(params, state, images, labels) -> metrics dict``.
@@ -42,13 +65,10 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
     streams uint8 and normalizes inside the jitted step, which is exact
     (u8 -> f32 loses nothing) and quarters host->device traffic.
     """
-    if normalize is not None:
-        _mean = jnp.asarray(normalize[0], jnp.float32)
-        _std = jnp.asarray(normalize[1], jnp.float32)
+    prepare = make_input_pipeline(normalize)
 
     def step_fn(params, state, images, labels, step_key):
-        if normalize is not None:
-            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
+        images, _ = prepare(images)
         # serve at the params' precision (bf16 serving casts params only;
         # lax.conv requires matching dtypes)
         pdt = jax.tree.leaves(params)[0].dtype
@@ -113,19 +133,10 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
     horizontal flip on-device (the shard-training augmentation; the full
     RandomResizedCrop+jitter recipe needs the JPEG path).
     """
-
-    if normalize is not None:
-        _mean = jnp.asarray(normalize[0], jnp.float32)
-        _std = jnp.asarray(normalize[1], jnp.float32)
+    prepare = make_input_pipeline(normalize, augment)
 
     def loss_fn(params, state, images, labels, key):
-        if normalize is not None:
-            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
-        if augment:
-            key, fkey = jax.random.split(key)
-            flip = jax.random.bernoulli(fkey, 0.5, (images.shape[0],))
-            images = jnp.where(flip[:, None, None, None],
-                               images[:, :, ::-1, :], images)
+        images, key = prepare(images, key)
         if amp:
             from ..utils.misc import cast_floating
 
@@ -189,18 +200,10 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
     ``normalize``/``augment``: see make_train_step (the shard pipeline)."""
     from ..robust.collect import multi_sample_forward
 
-    if normalize is not None:
-        _mean = jnp.asarray(normalize[0], jnp.float32)
-        _std = jnp.asarray(normalize[1], jnp.float32)
+    prepare = make_input_pipeline(normalize, augment)
 
     def loss_fn(params, state, images, labels, key):
-        if normalize is not None:
-            images = (images.astype(jnp.float32) / 255.0 - _mean) / _std
-        if augment:
-            key, fkey = jax.random.split(key)
-            flip = jax.random.bernoulli(fkey, 0.5, (images.shape[0],))
-            images = jnp.where(flip[:, None, None, None],
-                               images[:, :, ::-1, :], images)
+        images, key = prepare(images, key)
         logits, sloss = multi_sample_forward(model, params, state, images,
                                              images, eps, key)
         _, new_state = model.apply(params, state, images, training=True,

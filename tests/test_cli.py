@@ -162,3 +162,32 @@ def test_cli_train_with_validation(fake_imagenet, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "val: top1" in out, out
     assert any(p.name == "best" for p in (tmp_path / "ckpt").rglob("*"))
+
+
+def test_cli_shard_tp_eval(fake_imagenet, tmp_path):
+    """--shards_dir composes with --tp (u8 normalize inside the TP step)."""
+    shards = str(tmp_path / "shards")
+    main(["--mode", "eval", "--data_dir", fake_imagenet,
+          "--write_shards", shards, "--num_workers", "2",
+          "--root_dir", str(tmp_path)])
+    args = [
+        "--mode", "eval", "--shards_dir", shards,
+        "--model", "ttnet_imagenet_small",
+        "--nfilter", "8", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "8",
+        "--root_dir", str(tmp_path), "--mesh_data", "4", "--mesh_model", "2",
+    ]
+    dp = main(args)
+    tp = main(args + ["--tp"])
+    assert tp == dp
+
+
+def test_cli_flag_guards(fake_imagenet, tmp_path):
+    base = ["--mode", "eval", "--data_dir", fake_imagenet,
+            "--model", "ttnet_imagenet_xsmall", "--nfilter", "4",
+            "--tfilter", "4", "--layers", "0", "--eval_batch_size", "4",
+            "--root_dir", str(tmp_path), "--mesh_data", "1"]
+    with pytest.raises(ValueError, match="bf16"):
+        main(base + ["--bf16", "--lut"])
+    with pytest.raises(ValueError, match="tp"):
+        main(base + ["--tp", "--lut"])

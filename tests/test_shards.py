@@ -220,3 +220,25 @@ def test_robust_shard_train_step(shard_dir):
     _, m = step(ts, sx, sy, jax.random.PRNGKey(3))
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["stability_loss"]))
+
+
+def test_uneven_rank_partition_lockstep(tmp_path):
+    """Uneven shard counts across ranks: every rank yields exactly the
+    GLOBAL minimum batch count (one extra batch on one rank would
+    deadlock collective global-batch assembly)."""
+    class Synth:
+        classes = ["a"]
+        def __len__(self): return 9
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, np.uint8), i
+
+    out = str(tmp_path / "uneven")
+    write_shards(Synth(), out, shard_size=3)  # 3 shards over world=2
+    ds = ShardDataset(out)
+    counts = [len(list(ds.iter_batches(3, rank=r, world=2)))
+              for r in range(2)]
+    # rank0: shards 0,2 (6 imgs = 2 batches); rank1: shard 1 (1 batch)
+    assert counts == [1, 1], counts
+    for r in range(2):
+        ld = shard_loader(out, 3, rank=r, world=2)
+        assert len(ld) == 1
