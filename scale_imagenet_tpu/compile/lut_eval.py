@@ -32,11 +32,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..layers.pool import avg_pool, constant_pad2d
+from ..layers.pool import constant_pad2d
 from ..models.block_tt import BlockTTConfig
-from ..models.multihead import FIXUP_RULES, MultiHeadConfig, \
-    channel_interleave
-from ..layers.pool import zero_pad2d
+from ..models.multihead import MultiHeadConfig, channel_interleave, \
+    reconcile_heads
 from .truth_table import block_truth_table
 
 
@@ -125,7 +124,15 @@ def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray, *,
     idx = idx.astype(jnp.int32)                        # (B, H, W, G)
     if _use_pallas(lut, pallas):
         from ..pallas.lut_gather import lut_gather_nhwc
-        tile_rows = 8 if interpret else 512
+        if interpret:
+            tile_rows = 8
+        else:
+            # fit the tile to the actual lookup count: the kernel pads E
+            # up to tile_rows*128, so a fixed 512 would compute ~21x the
+            # needed work at B=1 (56x56 -> E=3136 -> 25 rows)
+            e = idx.shape[0] * idx.shape[1] * idx.shape[2]
+            rows = -(-e // 128)
+            tile_rows = min(512, -(-rows // 8) * 8)
         return lut_gather_nhwc(lut.packed, idx, tile_rows=tile_rows,
                                interpret=interpret)
     out_per_group = cfg.out_planes // cfg.groupsici
@@ -182,22 +189,11 @@ def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
     outs = {i: lut_block_tt_apply(lut.heads[i], x_bits, pallas=pallas,
                                   interpret=interpret)
             for i in sorted(lut.heads)}
-    if cfg.stride == 2:
-        # heaviside(avgpool2(bits) - 0.5) == [sum of the 4 bits >= 2]
-        outs[4] = (avg_pool(x_bits, 2) >= 0.5).astype(x_bits.dtype)
-        outs[3] = (avg_pool(outs[3], 2) >= 0.5).astype(x_bits.dtype)
-    else:
-        outs[4] = x_bits
-
-    pads = FIXUP_RULES[cfg.fixup](x_bits.shape[2], outs[1].shape[2])
-    for idx, pad in pads.items():
-        if idx in outs:
-            outs[idx] = zero_pad2d(outs[idx], pad)
-    th = min(o.shape[1] for o in outs.values())
-    tw = min(o.shape[2] for o in outs.values())
-    outs = {i: o[:, :th, :tw, :] for i, o in outs.items()}
-
-    cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    # heaviside(avgpool2(bits) - 0.5) == [sum of the 4 bits >= 2] — the
+    # T=0 deterministic form of the float path's rebinarize
+    cat = reconcile_heads(
+        outs, cfg, x_bits,
+        lambda pooled, slot: (pooled >= 0.5).astype(x_bits.dtype))
     if not cfg.fuse:
         return cat
     cat = channel_interleave(cat, cfg.cpt)

@@ -201,6 +201,38 @@ def channel_interleave(x: jnp.ndarray, cpt: int) -> jnp.ndarray:
     return x.reshape(n, h, w, c)
 
 
+def reconcile_heads(outs: dict, cfg: MultiHeadConfig, x: jnp.ndarray,
+                    rebinarize) -> jnp.ndarray:
+    """The head-reconciliation shared by the float block and LUT serving
+    (compile/lut_eval.py): head 4 is identity at stride 1, avg-pool +
+    re-binarize at stride 2 (which also re-pools head 3,
+    TT_general_imagenet_v2_small.py:91-96), then fixup pads, bottom-right
+    crop to the smallest head, channel concat.
+
+    ``rebinarize(pooled, slot)`` re-binarizes a pooled head (slot 4:
+    head 4, slot 5: head 3's re-pool — the float path draws distinct
+    noise keys per slot); semantics must equal
+    ``binarize01_act(pooled - 0.5)``.
+    """
+    if cfg.stride == 2:
+        outs[4] = rebinarize(avg_pool(x, 2), 4)
+        outs[3] = rebinarize(avg_pool(outs[3], 2), 5)
+    else:
+        outs[4] = x
+
+    pads = FIXUP_RULES[cfg.fixup](x.shape[2], outs[1].shape[2])
+    for idx, pad in pads.items():
+        if idx in outs:
+            outs[idx] = zero_pad2d(outs[idx], pad)
+
+    # input sizes outside the reference's fixup tables (which crash there)
+    # are reconciled by bottom-right cropping to the smallest head
+    th = min(o.shape[1] for o in outs.values())
+    tw = min(o.shape[2] for o in outs.values())
+    outs = {i: o[:, :th, :tw, :] for i, o in outs.items()}
+    return jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+
+
 def multihead_block(
     params: dict,
     state: dict,
@@ -223,28 +255,10 @@ def multihead_block(
             params[f"conv{idx}"], state[f"conv{idx}"], heads[idx], x,
             training=training, key=keys.get(idx))
 
-    # head 4: identity at stride 1; avg-pool + re-binarize at stride 2,
-    # which also re-pools head 3 (TT_general_imagenet_v2_small.py:91-96)
-    if cfg.stride == 2:
-        outs[4] = binarize01_act(avg_pool(x, 2) - 0.5, T=cfg.T,
-                                 key=keys.get(4))
-        outs[3] = binarize01_act(avg_pool(outs[3], 2) - 0.5, T=cfg.T,
-                                 key=keys.get(5))
-    else:
-        outs[4] = x
-
-    pads = FIXUP_RULES[cfg.fixup](x.shape[2], outs[1].shape[2])
-    for idx, pad in pads.items():
-        if idx in outs:
-            outs[idx] = zero_pad2d(outs[idx], pad)
-
-    # input sizes outside the reference's fixup tables (which crash there)
-    # are reconciled by bottom-right cropping to the smallest head
-    th = min(o.shape[1] for o in outs.values())
-    tw = min(o.shape[2] for o in outs.values())
-    outs = {i: o[:, :th, :tw, :] for i, o in outs.items()}
-
-    cat = jnp.concatenate([outs[i] for i in sorted(outs)], axis=-1)
+    cat = reconcile_heads(
+        outs, cfg, x,
+        lambda pooled, slot: binarize01_act(pooled - 0.5, T=cfg.T,
+                                            key=keys.get(slot)))
     if not cfg.fuse:
         return cat, new_state
     cat = channel_interleave(cat, cfg.cpt)

@@ -17,9 +17,9 @@ an unsupported shape cast); per instance the math is two small dense
 matmuls on (tile, ci) blocks.  Inference path only (training BN needs
 batch stats — the XLA path remains canonical there).
 
-GELU uses an exp-based erf approximation (A&S 7.1.26; ~2e-6 max err
-in f32 including roundoff):
-Mosaic has no erf/erfc lowering.
+GELU: Mosaic has no erf/erfc lowering, so the kernel uses the shared
+polynomial erf (ops/gelu.fast_erf — Chebyshev Horner, 7.4e-7 max err,
+exp-free; one implementation for the XLA eval path and the kernels).
 """
 
 from __future__ import annotations
@@ -31,20 +31,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _erf(x):
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t) + a3) * t + a2) * t + a1
-    y = 1.0 - poly * t * jnp.exp(-ax * ax)
-    return s * y
+from ..ops.gelu import fast_erf
 
 
 def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+    return 0.5 * x * (1.0 + fast_erf(x * 0.7071067811865476))
 
 
 def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
@@ -58,14 +49,19 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         y = (y >= 0).astype(y.dtype)
     elif act == "relu":
         y = jnp.maximum(y, 0.0)
-    out_ref[0] = y
+    out_ref[0] = y.astype(out_ref.dtype)   # compute f32, store x.dtype
 
 
 def fused_pointwise_block(x, w1, s1, b1, w2, s2, b2, act: str = "heaviside",
                           tile: int | None = None,
                           interpret: bool = False) -> jnp.ndarray:
     """x: (N, G*ci); w1: (G, ci, m); s1/b1: (G, m); w2: (G, m, co);
-    s2/b2: (G, co).  Returns (N, G*co)."""
+    s2/b2: (G, co).  Returns (N, G*co).
+
+    KEPT AS THE v1 REFERENCE VARIANT (group-as-grid-dim; needs two XLA
+    transposes around the call) — the model fast path uses only the v2
+    bundled block-diagonal kernel below.  Exercised by tests to pin the
+    group-major math both kernels share."""
     n, cin = x.shape
     g, ci, m = w1.shape
     co = w2.shape[2]
@@ -135,9 +131,10 @@ def block_tt_pointwise_params(params, state, cfg, eps: float = 1e-5):
     w2 = params["conv2"]["weight"].reshape(m, g, co)
     w2 = jnp.transpose(w2, (1, 0, 2))
 
+    from ..layers.norm import bn_scale_bias
+
     def affine(bn_p, bn_s, width):
-        scale = bn_p["weight"] / jnp.sqrt(bn_s["running_var"] + eps)
-        bias = bn_p["bias"] - bn_s["running_mean"] * scale
+        scale, bias = bn_scale_bias(bn_p, bn_s, eps)
         return scale.reshape(g, width), bias.reshape(g, width)
 
     s1, b1 = affine(params["bn1"], state["bn1"], m)
@@ -170,10 +167,14 @@ def fused_block_tt_pointwise(params, state, cfg, x,
 
 
 def _bundle_size(ci: int, co: int, g: int) -> int:
-    gb = 1
-    while gb < g and ((gb * ci) % 128 or (gb * co) % 128):
-        gb *= 2
-    return min(gb, g)
+    """Smallest divisor of g whose bundled lane dims are 128-aligned;
+    falls back to the full group count (nb=1: lane dims are the full
+    axis, which Mosaic also accepts).  Must DIVIDE g — e.g. g=12, ci=16
+    has no 128-aligning power of two below g."""
+    for gb in range(1, g + 1):
+        if g % gb == 0 and (gb * ci) % 128 == 0 and (gb * co) % 128 == 0:
+            return gb
+    return g
 
 
 def _block_diag(w: jnp.ndarray, gb: int) -> jnp.ndarray:
@@ -198,7 +199,7 @@ def _kernel_v2(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         y = (y >= 0).astype(y.dtype)
     elif act == "relu":
         y = jnp.maximum(y, 0.0)
-    out_ref[:] = y
+    out_ref[:] = y.astype(out_ref.dtype)   # compute f32, store x.dtype
 
 
 def fused_pointwise_block_v2(x, w1, s1, b1, w2, s2, b2,
