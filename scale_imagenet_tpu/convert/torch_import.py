@@ -162,10 +162,14 @@ def import_mobilenet_v2_tt(sd: Mapping[str, np.ndarray], cfg):
     for i in range(n_blocks):
         base = f"features.{3 + i}"
         bp, bs = {}, {}
-        for j in (1, 2, 3, 4):
-            if f"{base}.conv{j}.conv1.weight" in sd:
-                bp[f"conv{j}"], bs[f"conv{j}"] = _block_tt(
-                    sd, f"{base}.conv{j}")
+        # reference head attributes keep their sparse names (conv1+conv3
+        # when conv2/conv4 are commented out, TT_50.py:256-258); the port
+        # names heads densely by spec position -> renumber in order
+        present = [j for j in (1, 2, 3, 4)
+                   if f"{base}.conv{j}.conv1.weight" in sd]
+        for slot, j in enumerate(present, start=1):
+            bp[f"conv{slot}"], bs[f"conv{slot}"] = _block_tt(
+                sd, f"{base}.conv{j}")
         bp["convf"], bs["convf"] = _block_tt(sd, f"{base}.convf")
         params[f"block{i}"], state[f"block{i}"] = bp, bs
     fc = f"features.{3 + n_blocks + 2}"

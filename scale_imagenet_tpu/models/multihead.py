@@ -107,8 +107,8 @@ class MultiHeadConfig:
     stride: int = 1
     last: bool = False
     T: float = 0.0
-    # per-head group divisors, None = head disabled
-    # (g -> Block_TT groupsici = in_planes / g)
+    # per-head group divisors (g -> Block_TT groupsici = in_planes / g);
+    # all four heads must be enabled — see __post_init__
     groups: tuple = (1, 1, 16, 1)
     # conv-head kernels and paddings (heads 1 and 2)
     k12: tuple = (4, 4)
@@ -133,6 +133,18 @@ class MultiHeadConfig:
                           or (self.t * cin) % gi):
             gi -= 1
         return gi
+
+    def __post_init__(self):
+        # the reference v2 block HARDCODES groups=[1,1,16,1]
+        # (TT_general_imagenet_v2_small.py:28) — every head always exists,
+        # and reconcile_heads assumes heads 1/3/4 are present (head-3
+        # re-pool, head-4 identity, fixup widths).  Reject disabled heads
+        # loudly instead of KeyError-ing mid-trace.
+        if any(g is None for g in self.groups):
+            raise ValueError(
+                "MultiHeadConfig does not support disabled heads "
+                f"(groups={self.groups}); the reference v2 families "
+                "hardcode all four heads")
 
     def head_cfgs(self) -> dict:
         """BlockTTConfig per enabled conv head (1-indexed)."""

@@ -155,7 +155,8 @@ def _register_extended():
         "small": ("mobilenet_v2_tt_small",),
         "small_n64": ("mobilenet_v2_tt_small_n64",),
         "small_n64bis": ("mobilenet_v2_tt_small_n64bis",),
-        "32_64": ("mobilenet_v2_tt_32_64",),
+        "32_64": ("mobilenet_v2_tt_32_64", "mobilenet_v2_TT_32_64"),
+        "32_32": ("mobilenet_v2_tt_32_32", "mobilenet_v2_TT_32_32"),
     }.items():
         def mkv(variant=variant, name=names[0]):
             def build(num_classes=10, **_):
@@ -204,11 +205,12 @@ def _register_extended():
                            ("TT_general_8", "general_8")):
         def mkg(gname=gname, variant=variant):
             def build(nfilter=8, tfilter=8, layers=18, a_bit=2,
-                      num_classes=1000, image_size=224, **_):
+                      num_classes=1000, image_size=224,
+                      groups=(1, 2, 4, 4), **_):
                 cfg = TTGeneralFloatConfig(
                     variant=variant, nfilter=nfilter, tfilter=tfilter,
                     layers=layers, a_bit=a_bit, num_classes=num_classes,
-                    image_size=image_size)
+                    image_size=image_size, groups=tuple(groups))
                 return ModelDef(
                     name=gname, config=cfg,
                     init=lambda key: init_tt_general_float(key, cfg),

@@ -48,7 +48,7 @@ def quan_linear(params, x, wbit, abit):
         w = dorefa_w(w, wbit)
     if abit < 32:
         x = dorefa_a(x, abit)
-    return linear({"weight": w, "bias": params.get("bias")}, x, weight=w)
+    return linear(params, x, weight=w)
 
 
 _STAGES = {

@@ -102,11 +102,16 @@ _V2_HEADS = {
     "small_n64": (("conv", 4, 1, 2), ("conv", 2, 0, 8)),
     "small_n64bis": (("conv", 4, 1, 2), ("maxpool",)),
     "32_64": (("conv", 4, 1, 2), ("conv", 2, 0, 8)),
+    # TT_50_big.py:232-252 (samll32): depthwise k=4 head + k=2 head
+    "32_32": (("conv", 4, 1, 1), ("conv", 2, 0, 4)),
 }
 _V2_CONVF_GROUP_DIV = {
     "mobilenet_v2": 8, "small": 4, "small_n64": 8, "small_n64bis": 8,
-    "32_64": 8,
+    "32_64": 8, "32_32": 4,
 }
+# TT_50.py:332 / TT_50_big.py:315 keep the stem at stride 1 (the input
+# stays 32x32 into the first block); every other variant downsamples
+_V2_STEM_STRIDE = {"32_64": 1, "32_32": 1}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,8 +224,12 @@ _V2_STAGES = {
     "small_n64": (8, 8, lambda p: [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)]),
     "small_n64bis": (8, 8, lambda p: [p, (2 * p, 2), (4 * p, 2),
                                       (8 * p, 2)]),
+    # TT_50.py:330 — note the trailing stride-1 16p stage, and that BOTH
+    # 16p stages get last=True (out_planes == last_out_planes)
     "32_64": (8, 8, lambda p: [(2 * p, 2), 2 * p, (4 * p, 2), 4 * p,
-                               (8 * p, 2), 8 * p, (16 * p, 2)]),
+                               (8 * p, 2), 8 * p, (16 * p, 2), 16 * p]),
+    "32_32": (8, 8, lambda p: [(2 * p, 2), 2 * p, (4 * p, 2), 4 * p,
+                               (8 * p, 2), 8 * p, (16 * p, 2), 16 * p]),
 }
 
 
@@ -252,8 +261,13 @@ class MobilenetV2TTConfig:
             in_planes = out_planes
         return cfgs
 
+    @property
+    def stem_stride(self):
+        return _V2_STEM_STRIDE.get(self.variant, 2)
+
     def feature_shape(self):
-        s = (self.image_size + 2 * 3 - 7) // 2 + 1  # stem conv k7 s2 p3
+        # stem conv k7 p3, stride per variant (s1 for the TT_50 pair)
+        s = (self.image_size + 2 * 3 - 7) // self.stem_stride + 1
         h = w = s
         c = self.p
         for cfg in self.block_configs():
@@ -290,7 +304,7 @@ def mobilenet_v2_tt_apply(params, state, cfg: MobilenetV2TTConfig, x,
                           training=False, key=None):
     """Stem order per TT.py:318-322: conv -> 2-bit act -> BN."""
     new_state = {}
-    x = conv2d(params["stem_conv"], x, stride=2, padding=3)
+    x = conv2d(params["stem_conv"], x, stride=cfg.stem_stride, padding=3)
     x = activation_quantize(x, 2)
     x, new_state["stem_bn"] = batch_norm(params["stem_bn"],
                                          state["stem_bn"], x, training)

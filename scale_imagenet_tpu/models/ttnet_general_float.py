@@ -75,14 +75,24 @@ def block_resnet_float(params, state, cfg: BlockResnetConfig, x,
     return out, new_state
 
 
-# variant -> (head ks, head pads, convf (k, pad, groupdiv-from), big?)
+# variant -> (head ks, head pads, convf (k, pad, groupdiv-from), big?,
+# stem flavor, head-count cap)
 _FLOAT_VARIANTS = {
     "general": dict(ks=(4, 3, 2, 1), pads=(1, 1, 0, 0), convf_k=2,
-                    convf_pad=1, big=False),
+                    convf_pad=1, big=False, stem="pool_s2"),
+    # TT_general_8 (TT_general_imagenet.py:499-555): stem is conv k7 s1
+    # with NO AvgPool prefix, and the block forward concatenates heads
+    # 1-3 ONLY — Block_conv4 is constructed when groups[3] is set but
+    # never used, while cpt counts it, so the reference CRASHES at the
+    # interleave view unless groups[3] is None.  We enforce the runnable
+    # semantics (3 heads max).
     "general_8": dict(ks=(8, 4, 2, 1), pads=(3, 1, 0, 0), convf_k=3,
-                      convf_pad=1, big=False, convf_gdiv=6),
+                      convf_pad=1, big=False, convf_gdiv=6, stem="s1",
+                      max_heads=3),
+    # TT_general_big (TT_general_imagenet.py:441-497): same stem as
+    # general, but the stage table drops the leading stride-1 p stage
     "general_big": dict(ks=(4, 3, 2, 1), pads=(1, 1, 0, 0), convf_k=2,
-                        convf_pad=1, big=True),
+                        convf_pad=1, big=True, stem="pool_s2"),
 }
 
 
@@ -99,9 +109,14 @@ class FloatMultiHeadConfig:
     def spec(self):
         return _FLOAT_VARIANTS[self.variant]
 
+    def _effective_groups(self):
+        cap = self.spec.get("max_heads", len(self.groups))
+        return tuple(g if i < cap else None
+                     for i, g in enumerate(self.groups))
+
     def head_cfgs(self):
         cfgs = {}
-        for i, g in enumerate(self.groups):
+        for i, g in enumerate(self._effective_groups()):
             if g is None:
                 continue
             cfgs[i + 1] = BlockResnetConfig(
@@ -112,7 +127,7 @@ class FloatMultiHeadConfig:
 
     @property
     def cpt(self):
-        return sum(1 for g in self.groups if g is not None)
+        return sum(1 for g in self._effective_groups() if g is not None)
 
     def convf_cfg(self):
         cin = self.cpt * self.in_planes
@@ -187,9 +202,16 @@ class TTGeneralFloatConfig:
 
     def block_configs(self):
         p = self.p
-        stages = [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)] \
-            if self.layers == 18 else \
-            [p, (2 * p, 2), (4 * p, 2), 4 * p, (8 * p, 2), 8 * p]
+        if self.variant == "general_big":
+            # TT_general_imagenet.py:462-466: TT_general_big drops the
+            # leading stride-1 p stage of the other variants
+            stages = [(2 * p, 2), (4 * p, 2), (8 * p, 2)] \
+                if self.layers == 18 else \
+                [(2 * p, 2), (4 * p, 2), 4 * p, (8 * p, 2), 8 * p]
+        else:
+            stages = [p, (2 * p, 2), (4 * p, 2), (8 * p, 2)] \
+                if self.layers == 18 else \
+                [p, (2 * p, 2), (4 * p, 2), 4 * p, (8 * p, 2), 8 * p]
         in_planes, cfgs = p, []
         for s in stages:
             out_planes = s if isinstance(s, int) else s[0]
@@ -202,8 +224,12 @@ class TTGeneralFloatConfig:
 
     @property
     def fcsize(self):
-        s = self.image_size // 2
-        s = (s + 6 - 7) // 2 + 1
+        if _FLOAT_VARIANTS[self.variant]["stem"] == "s1":
+            # TT_general_8: conv k7 s1 p3, no AvgPool prefix
+            s = self.image_size
+        else:
+            s = self.image_size // 2
+            s = (s + 6 - 7) // 2 + 1
         h = w = s
         c = self.p
         for cfg in self.block_configs():
@@ -458,8 +484,13 @@ def init_tt_general_float(key, cfg: TTGeneralFloatConfig,
 def tt_general_float_apply(params, state, cfg: TTGeneralFloatConfig, x,
                            training=False, key=None):
     new_state = {}
-    x = avg_pool(x, 2)
-    x = conv2d(params["stem_conv"], x, stride=2, padding=3)
+    if _FLOAT_VARIANTS[cfg.variant]["stem"] == "s1":
+        # TT_general_8 stem: conv k7 STRIDE 1, no AvgPool prefix
+        # (TT_general_imagenet.py:516)
+        x = conv2d(params["stem_conv"], x, stride=1, padding=3)
+    else:
+        x = avg_pool(x, 2)
+        x = conv2d(params["stem_conv"], x, stride=2, padding=3)
     # activation BEFORE the stem BN (TT_general_imagenet.py:404-409)
     if cfg.a_bit > 1:
         x = activation_quantize(x, cfg.a_bit)

@@ -180,3 +180,145 @@ def test_tt_general_correctbn_imagenet_divergence():
     x = jnp.zeros((1, 224, 224, 3), jnp.float32)
     logits, _ = m.apply(params, state, x)
     assert logits.shape == (1, 10)
+
+
+def test_mobilenet_v2_tt_32_64_parity(x64):
+    """mobilenet_v2_TT_32_64 (TT_50.py:313-358): stride-1 stem and the
+    8-stage table with a trailing 16p stride-1 stage, sparse reference
+    head names conv1/conv3 renumbered densely by the importer."""
+    from models.TT_50 import mobilenet_v2_TT_32_64
+
+    torch.manual_seed(4)
+    tmodel = mobilenet_v2_TT_32_64().double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_mobilenet_v2_tt
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("mobilenet_v2_tt_32_64")
+    params, state = import_mobilenet_v2_tt(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[-1].in_features
+
+
+def test_mobilenet_v2_tt_32_32_parity(x64):
+    """mobilenet_v2_TT_32_32 (TT_50_big.py:297-343): the depthwise-head
+    sibling of 32_64."""
+    from models.TT_50_big import mobilenet_v2_TT_32_32
+
+    torch.manual_seed(5)
+    tmodel = mobilenet_v2_TT_32_32().double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_mobilenet_v2_tt
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("mobilenet_v2_tt_32_32")
+    params, state = import_mobilenet_v2_tt(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[-1].in_features
+
+
+def _float_cell_ps(sd, prefix):
+    """Block_resnet / Block_resnet_big (TT_general_imagenet.py:20-98) ->
+    our float-cell param tree (conv1b/bn1b present only in 'big')."""
+    p, s = {}, {}
+    for conv in ("conv1", "conv1b", "conv2"):
+        if f"{prefix}.{conv}.weight" in sd:
+            p[conv] = _conv_p(sd, f"{prefix}.{conv}")
+    for bn in ("bn1", "bn1b", "bn2"):
+        if f"{prefix}.{bn}.weight" in sd:
+            p[bn], s[bn] = _bn_ps(sd, f"{prefix}.{bn}")
+    return p, s
+
+
+def _import_float_general(sd, n_blocks, head_idxs, off=0):
+    """off=1 for the variants whose layer list opens with AvgPool2d."""
+    params = {"stem_conv": _conv_p(sd, f"features.{off}")}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn_ps(sd, f"features.{off + 2}")
+    for i in range(n_blocks):
+        base = f"features.{off + 3 + i}"
+        bp, bs = {}, {}
+        for j in head_idxs:
+            bp[f"conv{j}"], bs[f"conv{j}"] = _float_cell_ps(
+                sd, f"{base}.Block_conv{j}")
+        bp["convf"], bs["convf"] = _float_cell_ps(sd, f"{base}.Block_convf")
+        params[f"block{i}"], state[f"block{i}"] = bp, bs
+    fck = f"features.{off + 3 + n_blocks + 2}"
+    params["fc"] = {"weight": jnp.array(sd[f"{fck}.weight"].T),
+                    "bias": jnp.array(sd[f"{fck}.bias"])}
+    return params, state
+
+
+def test_tt_general_8_parity(x64):
+    """TT_general_8 (TT_general_imagenet.py:499-555): stride-1 k7 stem
+    with no AvgPool, k=8/4/2 heads, convf k=3 gdiv 6; the reference
+    forward concatenates heads 1-3 only (out4 dead)."""
+    from models.TT_general_imagenet import TT_general_8
+
+    cfg = argparse.Namespace(nfilter=2, tfilter=4, layers=18, Abit_inter=2,
+                             groups=[1, 2, 4, None])
+    torch.manual_seed(6)
+    tmodel = TT_general_8(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_general_8", nfilter=2, tfilter=4, layers=18, a_bit=2,
+                  groups=(1, 2, 4, None))
+    assert m.config.fcsize == tmodel.features[-1].in_features
+    params, state = _import_float_general(sd, 4, (1, 2, 3))
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-1, 1, (1, 3, 224, 224))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
+def test_tt_general_big_parity(x64):
+    """TT_general_big (TT_general_imagenet.py:441-497): stage table drops
+    the leading p stage; 'big' cells carry the extra conv1b.  The ONLY
+    runnable reference groups are [1,None,4,None] (every other cpt hits
+    the forward's mismatched cat branches - verified empirically)."""
+    from models.TT_general_imagenet import TT_general_big
+
+    cfg = argparse.Namespace(nfilter=4, tfilter=4, layers=18, Abit_inter=2,
+                             groups=[1, None, 4, None])
+    torch.manual_seed(7)
+    tmodel = TT_general_big(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_general_big", nfilter=4, tfilter=4, layers=18,
+                  a_bit=2, groups=(1, None, 4, None))
+    assert m.config.fcsize == tmodel.features[-1].in_features
+    params, state = _import_float_general(sd, 3, (1, 3), off=1)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(14)
+    x = rng.uniform(-1, 1, (1, 3, 224, 224))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
