@@ -90,6 +90,13 @@ def main():
     print(f"lut pallas B=256: {ms:8.2f} ms  {256/ms*1e3:8.0f} img/s",
           flush=True)
 
+    x1 = jax.random.uniform(jax.random.PRNGKey(1), (1, 224, 224, 3),
+                            jnp.float32)
+    ms = in_graph_ms(lut_apply, params, state, x1)
+    res["lut_pallas_b1"] = {"ms_per_batch": ms, "img_per_sec": 1 / ms * 1e3}
+    print(f"lut pallas B=  1: {ms:8.2f} ms (latency; conv B=1 above)",
+          flush=True)
+
     with open(os.path.abspath(OUT), "w") as fh:
         json.dump(res, fh, indent=1)
     print(f"wrote {os.path.abspath(OUT)}")
