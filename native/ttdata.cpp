@@ -147,15 +147,17 @@ int ttdata_load_eval(const char* path, float* out, int crop, int resize_to,
     int w = 0, h = 0;
     if (!decode_rgb(path, rgb, w, h)) return 1;
 
-    // resize shorter side to resize_to, round-half-even like Python round()
+    // resize shorter side to resize_to; the long edge TRUNCATES like
+    // torchvision Resize(int) (`int(size * long / short)`) and the
+    // Python pipeline (data/transforms.py::_resize_shorter)
     int ow, oh;
     if (w <= h) {
         ow = resize_to;
-        oh = (int)std::nearbyint((double)resize_to * h / w);
+        oh = (int)((double)resize_to * h / w);
         if (oh < 1) oh = 1;
     } else {
         oh = resize_to;
-        ow = (int)std::nearbyint((double)resize_to * w / h);
+        ow = (int)((double)resize_to * w / h);
         if (ow < 1) ow = 1;
     }
     if (ow < crop || oh < crop) return 2;

@@ -173,7 +173,11 @@ class ShardDataset:
                         cur, lbl = cur[perm], lbl[perm]
                     yield cur, lbl
 
-        it = self._slice_batches(shard_stream(), batch_size, drop_last)
+        # multi-host: every yielded batch must be FULL (collective
+        # global-batch assembly needs identical per-process shapes), so
+        # world>1 implies drop_last on every rank regardless of the flag
+        it = self._slice_batches(shard_stream(), batch_size,
+                                 drop_last or world > 1)
         if world > 1:
             cap = self.rank_batches(batch_size, drop_last, world)
             for _, batch in zip(range(cap), it):
@@ -185,12 +189,14 @@ class ShardDataset:
     def rank_batches(self, batch_size: int, drop_last: bool,
                      world: int) -> int:
         """min over ranks of the per-rank batch count — the lockstep
-        truncation every rank applies independently."""
+        truncation every rank applies independently.  With world>1 only
+        FULL batches count (short tails would give ranks mismatched
+        shapes at the same step)."""
         counts = []
         for r in range(world):
             n = sum(len(self._images[s]) for s in range(len(self._paths))
                     if s % world == r)
-            counts.append(n // batch_size if drop_last
+            counts.append(n // batch_size if (drop_last or world > 1)
                           else -(-n // batch_size))
         return min(counts) if counts else 0
 

@@ -37,11 +37,15 @@ def _normalize(arr: np.ndarray, mean, std) -> np.ndarray:
 
 
 def _resize_shorter(img, size: int):
+    # torchvision Resize(int) TRUNCATES the long edge
+    # (`int(size * long / short)`, all versions) — rounding instead
+    # shifts the crop window by one pixel for ~half of the non-integer
+    # aspect ratios and breaks reference-pipeline parity
     w, h = img.size
     if w <= h:
-        ow, oh = size, max(int(round(size * h / w)), 1)
+        ow, oh = size, max(int(size * h / w), 1)
     else:
-        oh, ow = size, max(int(round(size * w / h)), 1)
+        oh, ow = size, max(int(size * w / h), 1)
     return img.resize((ow, oh), Image.BILINEAR)
 
 

@@ -354,6 +354,15 @@ def main(argv=None):
             if cfg.amp:
                 raise ValueError("--amp is not supported with robust "
                                  "(--stability_eps) training")
+            if not cfg.shards_dir:
+                # the JPEG train path host-normalizes — tell the robust
+                # step the real input range so the eps-ball clamps are
+                # not the reference's bare-ToTensor [0,1]
+                from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+                train_kwargs = dict(input_bounds=(
+                    (0.0 - IMAGENET_MEAN) / IMAGENET_STD,
+                    (1.0 - IMAGENET_MEAN) / IMAGENET_STD))
             train_step = make_robust_train_step(
                 model, tx, cfg.stability_eps, cfg.stability_coeff, mesh,
                 **train_kwargs)

@@ -58,14 +58,20 @@ def stability_loss_collector(k: int = 3):
 
 def multi_sample_forward(model, params, state, x, x_adv, eps: float, key,
                          inputs_min: float = 0.0, inputs_max: float = 1.0,
-                         training: bool = True):
+                         training: bool = True, return_state: bool = False):
     """forward_with_multi_sample for any model: returns
-    (logits_of_the_adv/natural_sample, stability_loss).  ``training=True``
-    matches the reference, which runs this inside the training forward."""
+    (logits_of_the_adv/natural_sample, stability_loss)[, new_state].
+    ``training=True`` matches the reference, which runs this inside the
+    training forward — and so does ``return_state``: the reference's BN
+    momentum updates come from this packed (3N) forward, so robust
+    training should reuse its state instead of paying a second forward."""
     pack_key, fwd_key = jax.random.split(key)
     k, data = multi_sample_pack(x, x_adv, eps, pack_key, inputs_min,
                                 inputs_max)
     with stability_loss_collector(k) as c:
-        logits, _ = model.apply(params, state, data, training=training,
-                                key=fwd_key)
-    return multi_sample_unpack_natural(logits, k), c.total()
+        logits, new_state = model.apply(params, state, data,
+                                        training=training, key=fwd_key)
+    nat = multi_sample_unpack_natural(logits, k)
+    if return_state:
+        return nat, c.total(), new_state
+    return nat, c.total()

@@ -43,7 +43,21 @@ def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
 
 def load_checkpoint(path: str, like: Any | None = None):
     """Load a checkpoint saved by save_checkpoint.  ``like`` (an example
-    pytree) restores exact structure/dtypes when provided."""
+    pytree) restores exact structure/dtypes when provided.  Handles both
+    the orbax layout and the flat-npz fallback save_checkpoint writes
+    when orbax is unavailable (the fallback needs ``like`` — the flat
+    leaves are reattached to its treedef)."""
+    npz = os.path.join(path, "tree.npz")
+    if os.path.exists(npz):
+        data = np.load(npz)
+        flat = [data[str(i)] for i in range(len(data.files))]
+        if like is None:
+            raise ValueError(
+                f"{path} is a flat-npz fallback checkpoint; pass `like` "
+                "(an example pytree) to restore its structure")
+        treedef = jax.tree.structure(like)
+        return jax.tree.unflatten(treedef, flat)
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
@@ -81,9 +95,18 @@ class CheckpointManager:
 
     def _update_link(self, name: str, target: str):
         link = os.path.join(self.root, name)
+        old = None
         if os.path.islink(link):
+            old = os.path.join(self.root, os.readlink(link))
             os.unlink(link)
         os.symlink(os.path.basename(target), link)
+        # reap a former link target that already aged out of the keep
+        # window (it was skipped by the prune while protected) — without
+        # this, every superseded 'best' directory leaks forever
+        if old and old != target and old not in self._saved \
+                and not self._is_linked(old):
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
 
     def _is_linked(self, path: str) -> bool:
         for name in ("last", "best"):
@@ -118,8 +141,12 @@ def load_model(path: str):
         meta = json.load(f)
     from ..models import get_model
 
-    kwargs = {k: v for k, v in meta["config"].items()
-              if k != "name" and not isinstance(v, (list, dict))}
+    # JSON turns tuple config fields (e.g. `groups`) into lists — restore
+    # them as tuples rather than dropping them (a dropped field silently
+    # rebuilds the DEFAULT architecture); dicts stay excluded
+    kwargs = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in meta["config"].items()
+              if k != "name" and not isinstance(v, dict)}
     model = get_model(meta["model_name"], **kwargs)
     example = model.init(__import__("jax").random.PRNGKey(0))
     payload = load_checkpoint(path, like={"params": example[0],

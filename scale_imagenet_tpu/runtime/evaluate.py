@@ -38,11 +38,13 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
         batch_time.update(time.time() - end)
         end = time.time()
 
-        if verbose and batch_idx % log_interval == 0:
+        if (verbose or logger is not None) and \
+                batch_idx % log_interval == 0:
             drain()
-            print(f"eval [{batch_idx}] loss {losses.avg:.3f} "
-                  f"acc1 {top1.avg:.3f}% acc5 {top5.avg:.3f}% "
-                  f"({batch_time.avg * 1000:.0f} ms/batch)")
+            if verbose:
+                print(f"eval [{batch_idx}] loss {losses.avg:.3f} "
+                      f"acc1 {top1.avg:.3f}% acc5 {top5.avg:.3f}% "
+                      f"({batch_time.avg * 1000:.0f} ms/batch)")
             if logger is not None:
                 step = epoch * 10**6 + batch_idx
                 logger.add_scalar("Loss/test", losses.avg, step)

@@ -70,9 +70,11 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
     def step_fn(params, state, images, labels, step_key):
         images, _ = prepare(images)
         # serve at the params' precision (bf16 serving casts params only;
-        # lax.conv requires matching dtypes)
-        pdt = jax.tree.leaves(params)[0].dtype
-        if jnp.issubdtype(pdt, jnp.floating) and images.dtype != pdt:
+        # lax.conv requires matching dtypes).  First FLOATING leaf — the
+        # LUT serving pytree leads with integer tables.
+        pdt = next((a.dtype for a in jax.tree.leaves(params)
+                    if jnp.issubdtype(a.dtype, jnp.floating)), None)
+        if pdt is not None and images.dtype != pdt:
             images = images.astype(pdt)
         logits, _ = model.apply(params, state, images, training=False,
                                 key=step_key)
@@ -156,6 +158,12 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
 
     def train_step(ts: TrainState, images, labels, key,
                    axis: str | None = None):
+        if axis is not None:
+            # independent per-shard randomness (flip masks, stochastic
+            # activations) — the reference's DDP processes each own their
+            # torch RNG; a replicated key would correlate augmentation
+            # across the global batch
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         (loss, (new_state, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.model_state, images,
                                    labels, key)
@@ -192,27 +200,49 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
 
 def make_robust_train_step(model, tx, eps: float, coeff: float,
                            mesh: Mesh | None = None, normalize=None,
-                           augment: bool = False):
+                           augment: bool = False, input_bounds=None):
     """Training step with the multi-sample activation-stability loss
     (the reference's robust-training recipe: CE + coeff * rsloss,
     netbin.py:710-724).  The natural batch doubles as its own adversarial
     sample; plug in an attack upstream for adversarial training.
-    ``normalize``/``augment``: see make_train_step (the shard pipeline)."""
+    ``normalize``/``augment``: see make_train_step (the shard pipeline).
+
+    ``input_bounds``: (min, max) of the images as the model sees them.
+    The reference's [0,1] default is for its bare-ToTensor datasets
+    (netbin.py:713); NORMALIZED images span ~[-2.1, 2.6] and clamping
+    them to [0,1] corrupts the eps-ball samples.  When ``normalize`` is
+    given the per-channel bounds are derived automatically; callers
+    feeding host-normalized data must pass theirs.
+    """
     from ..robust.collect import multi_sample_forward
 
     prepare = make_input_pipeline(normalize, augment)
+    if normalize is not None:
+        _m = jnp.asarray(normalize[0], jnp.float32)
+        _s = jnp.asarray(normalize[1], jnp.float32)
+        in_lo, in_hi = (0.0 - _m) / _s, (1.0 - _m) / _s
+    elif input_bounds is not None:
+        in_lo = jnp.asarray(input_bounds[0], jnp.float32)
+        in_hi = jnp.asarray(input_bounds[1], jnp.float32)
+    else:
+        in_lo, in_hi = 0.0, 1.0
 
     def loss_fn(params, state, images, labels, key):
         images, key = prepare(images, key)
-        logits, sloss = multi_sample_forward(model, params, state, images,
-                                             images, eps, key)
-        _, new_state = model.apply(params, state, images, training=True,
-                                   key=key)
+        # BN state comes from the packed (3N) forward, exactly like the
+        # reference (its training forward IS forward_with_multi_sample) —
+        # no second natural-batch forward
+        logits, sloss, new_state = multi_sample_forward(
+            model, params, state, images, images, eps, key,
+            inputs_min=in_lo, inputs_max=in_hi, return_state=True)
         loss = cross_entropy(logits, labels) + coeff * sloss
         return loss, (new_state, logits, sloss)
 
     def train_step(ts: TrainState, images, labels, key,
                    axis: str | None = None):
+        if axis is not None:
+            # per-shard randomness — see make_train_step
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         (loss, (new_state, logits, sloss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.model_state, images,
                                    labels, key)

@@ -118,23 +118,25 @@ def test_device_normalize_equivalence(jpeg_tree, shard_dir):
 
 
 def test_multihost_rank_partition(shard_dir):
-    """rank/world round-robin: disjoint, exhaustive, order-preserving."""
+    """rank/world round-robin: disjoint, order-preserving, and in
+    LOCKSTEP — every rank yields the same number of FULL batches
+    (collective global-batch assembly needs identical shapes), so the
+    global tail past min-rank coverage is dropped."""
     out, meta = shard_dir
     ds = ShardDataset(out)
-    full = np.concatenate([b[1] for b in ds.iter_batches(3)])
+    # shards of 3,3,3,1: rank0 -> 6 imgs (2 full batches of 3),
+    # rank1 -> 4 imgs (1 full batch) => lockstep cap = 1 batch each
     parts = []
     for r in range(2):
         got = list(ds.iter_batches(3, rank=r, world=2))
-        lbls = np.concatenate([b[1] for b in got]) if got else np.array([])
-        parts.append(lbls)
+        assert len(got) == 1
+        assert all(len(b[1]) == 3 for b in got)  # full batches only
+        parts.append(np.concatenate([b[1] for b in got]))
         ld = shard_loader(out, 3, rank=r, world=2)
-        assert len(list(ld)) == len(ld)
-    assert sum(len(p) for p in parts) == meta["n"]
-    # shards are assigned round-robin: rank r sees shards r, r+2, ...
-    n_per = [len(img) for img in ds._images]
-    exp0 = np.concatenate([ds._labels[s] for s in range(len(n_per))
-                           if s % 2 == 0])
-    np.testing.assert_array_equal(parts[0], exp0)
+        assert len(list(ld)) == len(ld) == 1
+    # disjoint, order-preserving: rank r starts at shard r
+    np.testing.assert_array_equal(parts[0], ds._labels[0][:3])
+    np.testing.assert_array_equal(parts[1], ds._labels[1][:3])
 
 
 def test_shuffle_epochs_differ_same_multiset(shard_dir):
