@@ -126,7 +126,14 @@ def cnf_with_output_literal(dnf_str: str, cnf_str: str) -> str:
 
 def count_gates(dnf_str: str) -> int:
     """Gate count of a DNF expression: one AND per &, one OR per |, one NOT
-    per ~ (the accounting behind the released 157M figure)."""
+    per ~ (the accounting behind the released 157M figure).
+
+    This string meter and ``native.count_term_gates`` (cube accounting:
+    ORs = terms-1, ANDs = sum(literals-1), NOTs = negated literals) are
+    the SAME meter — tests/test_native.py asserts
+    ``count_gates(terms_to_dnf(terms)) == count_term_gates(terms)`` on
+    random covers, so compiled gate totals are comparable no matter which
+    path produced them."""
     s = str(dnf_str)
     return s.count("&") + s.count("|") + s.count("~")
 

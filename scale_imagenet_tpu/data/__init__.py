@@ -12,13 +12,13 @@ from .transforms import (
     IMAGENET_STD,
 )
 from .dataset import ImageFolder
-from .loader import DataLoader, device_prefetch
+from .loader import DataLoader, device_prefetch, pad_batches
 from .shards import ShardDataset, shard_loader, write_shards
 
 __all__ = [
     "imagenet_eval_transform", "imagenet_train_transform",
     "cifar_eval_transform", "cifar_train_transform",
     "IMAGENET_MEAN", "IMAGENET_STD",
-    "ImageFolder", "DataLoader", "device_prefetch",
+    "ImageFolder", "DataLoader", "device_prefetch", "pad_batches",
     "ShardDataset", "shard_loader", "write_shards",
 ]

@@ -19,20 +19,30 @@ import jax
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 num_workers: int = 6, drop_last: bool = False, seed: int = 0):
+                 num_workers: int = 6, drop_last: bool = False, seed: int = 0,
+                 rank: int = 0, world: int = 1):
+        """``rank``/``world``: multi-process feeding (the reference's
+        DistributedSampler, main.py:205-210) — every process draws the
+        SAME seeded permutation, then takes an equal contiguous
+        ``len(dataset)//world`` slice, so per-rank batch counts and the
+        final short-batch length agree on every rank (collective
+        global-batch assembly needs identical local shapes at every
+        step).  ``len(dataset) % world`` trailing images are dropped."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        self.rank = rank
+        self.world = world
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.world
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -42,6 +52,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        if self.world > 1:
+            per = len(idx) // self.world
+            idx = idx[self.rank * per:(self.rank + 1) * per]
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and \
@@ -73,18 +86,42 @@ class DataLoader:
                 yield images, labels
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+def pad_batches(iterator, batch_size: int):
+    """Pad a final short batch up to ``batch_size``; pad rows repeat the
+    last real row and get label ``-1``.
+
+    The eval step masks label<0 rows out of its metric sums
+    (train/losses.py::masked_metric_sums), so every image is scored — the
+    reference's ``drop_last=False`` semantics (/root/reference/main.py:
+    214-215) — while batch shapes stay static (one compiled program, and
+    the pad keeps mesh-axis divisibility)."""
+    for images, labels in iterator:
+        short = batch_size - len(images)
+        if short > 0:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], short, axis=0)])
+            labels = np.concatenate(
+                [labels, np.full((short,), -1, labels.dtype)])
+        yield images, labels
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None, assemble=None):
     """Asynchronously stage host batches onto device(s), ``size`` deep.
 
     ``sharding`` may be a (images_sharding, labels_sharding) pair to land
-    batches directly distributed over a mesh.
+    batches directly distributed over a mesh.  ``assemble(images, labels)
+    -> (images, labels)`` overrides the device_put entirely — the
+    multi-process path passes ``parallel.multihost.global_batch`` here so
+    each host's local shard lands as its slice of one global array.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
     def put(batch):
         images, labels = batch
-        if sharding is not None:
+        if assemble is not None:
+            images, labels = assemble(images, labels)
+        elif sharding is not None:
             images = jax.device_put(images, sharding[0])
             labels = jax.device_put(labels, sharding[1])
         else:

@@ -39,7 +39,8 @@ def _load_npy_fast(path: str) -> np.ndarray:
                 f, version)
             data = np.frombuffer(f.read(), dtype)
         return data.reshape(shape, order="F" if fortran else "C")
-    except AttributeError:  # numpy moved the private header reader
+    except (AttributeError, TypeError):
+        # numpy moved the private header reader, or changed its signature
         return np.load(path)
 
 

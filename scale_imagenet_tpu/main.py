@@ -92,6 +92,26 @@ def parse_args(argv=None):
                    help="pre-decoded val shards for per-epoch validation "
                         "during training")
     p.add_argument("--seed", type=int, default=0)
+
+    # multi-process launch (the reference's env WORLD_SIZE/RANK +
+    # --dist-url tcp:// rendezvous + mp.spawn, main.py:95-132): run one
+    # process per host with the same coordinator address; jax.distributed
+    # rendezvous makes every jit a global SPMD program over all hosts'
+    # devices.  All three omitted = single process (or TPU-pod env
+    # auto-detection inside jax.distributed.initialize).
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (the --dist-url analog)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (the WORLD_SIZE analog)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank (the RANK analog)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. 'cpu' for multi-"
+                        "process tests on hosts without one chip per "
+                        "process)")
+    p.add_argument("--cpu_devices", type=int, default=None,
+                   help="with --platform cpu: virtual device count per "
+                        "process")
     return p.parse_args(argv)
 
 
@@ -173,13 +193,26 @@ def _as_lut_model(model, params, state, lut_path=None):
 def main(argv=None):
     cfg = parse_args(argv)
 
+    # platform forcing + distributed rendezvous must happen BEFORE any
+    # backend use (the first PRNGKey/device query pins the backend)
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    if cfg.cpu_devices:
+        jax.config.update("jax_num_cpu_devices", cfg.cpu_devices)
+    multiproc = (cfg.num_processes or 0) > 1 or cfg.coordinator_address
+    if multiproc:
+        from .parallel.multihost import initialize
+
+        initialize(cfg.coordinator_address, cfg.num_processes,
+                   cfg.process_id)
+
     date = str(datetime.now()).replace(" ", "_").replace("-", "_") \
         .replace(":", "_").replace(".", "_")
     log_dir = os.path.join(cfg.root_dir, "logs", cfg.log_name, date)
     ckpt_dir = os.path.join(cfg.root_dir, "ckpt", cfg.log_name, date)
 
     from .data import DataLoader, ImageFolder, device_prefetch, \
-        imagenet_eval_transform, imagenet_train_transform
+        imagenet_eval_transform, imagenet_train_transform, pad_batches
     from .parallel import batch_sharding, make_mesh
     from .runtime.evaluate import evaluate
     from .train import MetricsLogger, make_eval_step
@@ -196,11 +229,16 @@ def main(argv=None):
         print(f"wrote {meta['n']} images -> {cfg.write_shards}")
         return meta
 
+    rank = jax.process_index()
+    world = jax.process_count()
+    is_coord = rank == 0
+
     model = build(cfg)
     params, state = load_params(cfg, model)
     n_params = sum(p.size for p in jax.tree.leaves(params))
-    print(f"model {model.name}: {n_params:,} params, "
-          f"fcsize {model.config.fcsize}")
+    if is_coord:
+        print(f"model {model.name}: {n_params:,} params, "
+              f"fcsize {model.config.fcsize}")
 
     if cfg.mode == "compile":
         # truth-table compilation: every Block_TT of every multi-head block
@@ -229,8 +267,12 @@ def main(argv=None):
         return summary
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
-    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
-    logger = MetricsLogger(log_dir)
+    if is_coord:
+        print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
+              + (f" / {world} processes" if world > 1 else ""))
+    # log/checkpoint IO is coordinator-only (the reference gates on
+    # rank % ngpus == 0, main.py:137-139)
+    logger = MetricsLogger(log_dir) if is_coord else None
 
     if cfg.mode == "eval":
         from .parallel.mesh import local_batch_size
@@ -253,16 +295,21 @@ def main(argv=None):
             model = _as_lut_model(model, params, state, cfg.lut_path)
             params = model.wrap_params(params)
 
-        # input source
+        # input source — each process loads 1/world of every global batch
+        if cfg.eval_batch_size % world:
+            raise ValueError(f"eval batch {cfg.eval_batch_size} not "
+                             f"divisible by {world} processes")
+        local_bs = cfg.eval_batch_size // world
         normalize = None
         if cfg.shards_dir:
             from .data.shards import shard_loader
             from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-            loader = shard_loader(cfg.shards_dir, cfg.eval_batch_size,
-                                  drop_last=True)
+            loader = shard_loader(cfg.shards_dir, local_bs,
+                                  drop_last=False, rank=rank, world=world)
             normalize = (IMAGENET_MEAN, IMAGENET_STD)
-            print(f"eval shards: {len(loader.dataset)} images")
+            if is_coord:
+                print(f"eval shards: {len(loader.dataset)} images")
         else:
             if cfg.native_data:
                 from .native.ttdata import NativeImageFolder
@@ -271,10 +318,12 @@ def main(argv=None):
             else:
                 ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
                                  imagenet_eval_transform)
-            print(f"eval dataset: {len(ds)} images / "
-                  f"{len(ds.classes)} classes")
-            loader = DataLoader(ds, cfg.eval_batch_size, shuffle=False,
-                                num_workers=cfg.num_workers, drop_last=True)
+            if is_coord:
+                print(f"eval dataset: {len(ds)} images / "
+                      f"{len(ds.classes)} classes")
+            loader = DataLoader(ds, local_bs, shuffle=False,
+                                num_workers=cfg.num_workers,
+                                drop_last=False, rank=rank, world=world)
 
         # step flavor
         if cfg.tp:
@@ -292,17 +341,33 @@ def main(argv=None):
                                        normalize=normalize)
 
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
+        # pad the final short batch (equal-length on every rank by the
+        # loader's equal-slice partitioning) and mask pad rows in-step —
+        # every image is scored, drop_last=False semantics
+        padded = pad_batches(iter(loader), local_bs)
+        if world > 1:
+            from .parallel.multihost import global_batch
+
+            feed = device_prefetch(
+                padded, assemble=lambda im, lb: global_batch(mesh, im, lb))
+        else:
+            feed = device_prefetch(padded, sharding=shardings)
         top1, top5, loss = evaluate(
-            eval_step, params, state,
-            device_prefetch(iter(loader), sharding=shardings),
-            logger=logger, log_interval=cfg.log_interval)
-        print(f"final: top1 {top1:.3f}% top5 {top5:.3f}% loss {loss:.4f}")
+            eval_step, params, state, feed, logger=logger,
+            log_interval=cfg.log_interval, verbose=is_coord)
+        if is_coord:
+            print(f"final: top1 {top1:.3f}% top5 {top5:.3f}% "
+                  f"loss {loss:.4f}")
         return top1, top5
 
     # train mode
     from .runtime.checkpoint import CheckpointManager
     from .train import TrainState, make_optimizer, make_train_step
 
+    if cfg.train_batch_size % world:
+        raise ValueError(f"train batch {cfg.train_batch_size} not "
+                         f"divisible by {world} processes")
+    local_tbs = cfg.train_batch_size // world
     train_kwargs = {}
     if cfg.shards_dir:
         # pre-decoded uint8 shards: normalize + random-flip on device
@@ -311,16 +376,17 @@ def main(argv=None):
         from .data.shards import shard_loader
         from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-        loader = shard_loader(cfg.shards_dir, cfg.train_batch_size,
-                              drop_last=True, shuffle=True, seed=cfg.seed)
+        loader = shard_loader(cfg.shards_dir, local_tbs,
+                              drop_last=True, shuffle=True, seed=cfg.seed,
+                              rank=rank, world=world)
         train_kwargs = dict(normalize=(IMAGENET_MEAN, IMAGENET_STD),
                             augment=True)
     else:
         train_ds = ImageFolder(os.path.join(cfg.data_dir, "train"),
                                imagenet_train_transform)
-        loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
+        loader = DataLoader(train_ds, local_tbs, shuffle=True,
                             num_workers=cfg.num_workers, drop_last=True,
-                            seed=cfg.seed)
+                            seed=cfg.seed, rank=rank, world=world)
     steps_per_epoch = len(loader)
     tx, schedule = make_optimizer(cfg.lr, weight_decay=cfg.wd,
                                   milestones=(30, 60, 90),
@@ -345,9 +411,14 @@ def main(argv=None):
                                 jax.device_put(payload["opt_state"]),
                                 jnp.asarray(payload["step"], jnp.int32))
                 print(f"resumed full train state at step {int(ts.step)}")
-            except Exception as e:  # params/state-only checkpoint
+            except (KeyError, ValueError, TypeError) as e:
+                # the EXPECTED misses for a params/state-only checkpoint:
+                # missing 'opt_state'/'step' keys or a treedef/leaf-count
+                # mismatch against `like`.  Anything else (corrupt file,
+                # IO) must surface, not silently restart the optimizer.
                 print("checkpoint has no optimizer state "
-                      f"({type(e).__name__}); starting optimizer fresh")
+                      f"({type(e).__name__}: {e}); starting optimizer "
+                      "fresh")
         if cfg.stability_eps > 0:
             from .train.steps import make_robust_train_step
 
@@ -369,19 +440,32 @@ def main(argv=None):
         else:
             train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
                                          **train_kwargs)
-        ckpt = CheckpointManager(ckpt_dir)
+        ckpt = CheckpointManager(ckpt_dir) if is_coord else None
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
+        if world > 1:
+            from .parallel.multihost import global_batch
+
+            def _feed(it):
+                return device_prefetch(
+                    it, assemble=lambda im, lb: global_batch(mesh, im, lb))
+        else:
+            def _feed(it):
+                return device_prefetch(it, sharding=shardings)
 
         # per-epoch validation + best-checkpoint tracking (the reference's
         # test() call in main_worker, main.py:150-200): from eval shards
         # (--eval_shards_dir) or data_dir/val when either exists
         def make_validator():
+            if cfg.eval_batch_size % world:
+                raise ValueError(f"eval batch {cfg.eval_batch_size} not "
+                                 f"divisible by {world} processes")
+            local_ebs = cfg.eval_batch_size // world
             if cfg.eval_shards_dir:
                 from .data.shards import shard_loader as _sl
                 from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-                ld = _sl(cfg.eval_shards_dir, cfg.eval_batch_size,
-                         drop_last=True)
+                ld = _sl(cfg.eval_shards_dir, local_ebs,
+                         drop_last=False, rank=rank, world=world)
                 estep = make_eval_step(
                     model, mesh, normalize=(IMAGENET_MEAN, IMAGENET_STD))
             else:
@@ -390,14 +474,14 @@ def main(argv=None):
                     return None
                 ld = DataLoader(ImageFolder(val_dir,
                                             imagenet_eval_transform),
-                                cfg.eval_batch_size, drop_last=True,
-                                num_workers=cfg.num_workers)
+                                local_ebs, drop_last=False,
+                                num_workers=cfg.num_workers,
+                                rank=rank, world=world)
                 estep = make_eval_step(model, mesh)
 
             def validate(params, state, epoch):
                 return evaluate(estep, params, state,
-                                device_prefetch(iter(ld),
-                                                sharding=shardings),
+                                _feed(pad_batches(iter(ld), local_ebs)),
                                 logger=logger, epoch=epoch,
                                 log_interval=cfg.log_interval,
                                 verbose=False)
@@ -409,11 +493,10 @@ def main(argv=None):
             start_epoch = int(ts.step) // max(steps_per_epoch, 1)
             for epoch in range(start_epoch, cfg.max_epochs):
                 loader.set_epoch(epoch)
-                for i, (images, labels) in enumerate(
-                        device_prefetch(iter(loader), sharding=shardings)):
+                for i, (images, labels) in enumerate(_feed(iter(loader))):
                     key, sub = jax.random.split(key)
                     ts, metrics = train_step(ts, images, labels, sub)
-                    if i % cfg.log_interval == 0:
+                    if i % cfg.log_interval == 0 and is_coord:
                         step = epoch * steps_per_epoch + i
                         loss = float(metrics["loss"])
                         print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
@@ -426,23 +509,27 @@ def main(argv=None):
                 if validator is not None:
                     top1, top5, vloss = validator(ts.params,
                                                   ts.model_state, epoch)
-                    print(f"epoch {epoch} val: top1 {top1:.3f}% "
-                          f"top5 {top5:.3f}% loss {vloss:.4f}")
-                    logger.add_scalar("Accuracy/val", top1, epoch)
+                    if is_coord:
+                        print(f"epoch {epoch} val: top1 {top1:.3f}% "
+                              f"top5 {top5:.3f}% loss {vloss:.4f}")
+                        logger.add_scalar("Accuracy/val", top1, epoch)
                     metric = top1
-                ckpt.save(int(ts.step), {
-                    "params": ts.params, "state": ts.model_state,
-                    "opt_state": ts.opt_state, "step": int(ts.step)},
-                    metric=metric)
+                if ckpt is not None:
+                    ckpt.save(int(ts.step), {
+                        "params": ts.params, "state": ts.model_state,
+                        "opt_state": ts.opt_state, "step": int(ts.step)},
+                        metric=metric)
         except (KeyboardInterrupt, Exception):
             # failure containment the reference lacks entirely: snapshot
             # the full train state so the run resumes from the crash point
-            ckpt.save(int(ts.step), {
-                "params": ts.params, "state": ts.model_state,
-                "opt_state": ts.opt_state, "step": int(ts.step)},
-                metadata={"crash": True})
+            if ckpt is not None:
+                ckpt.save(int(ts.step), {
+                    "params": ts.params, "state": ts.model_state,
+                    "opt_state": ts.opt_state, "step": int(ts.step)},
+                    metadata={"crash": True})
             raise
-    logger.close()
+    if logger is not None:
+        logger.close()
 
 
 if __name__ == "__main__":

@@ -121,14 +121,30 @@ class MultiHeadConfig:
     # False: return the raw 4-head concat without interleave/fused block
     # (the TT_FHE_XSMALL / alexnet-stem flavor, TT_FHE_XSMALL.py:564-571)
     fuse: bool = True
+    # True: where the reference's own `int(cin/g)` group math is invalid
+    # (a construction-time crash there, e.g. the v2 family at p=64
+    # stage 3: int(512/30)=17 groups on 512 channels), step the group
+    # count down to the nearest valid divisor instead of raising.  Only
+    # registry configs that document a crashes-as-shipped reference model
+    # set this — for any other config an invalid width is a USER error
+    # and must raise, not silently rebuild a different architecture.
+    repair_groups: bool = False
 
     def _groupsici(self, g: int, cin: int, cout: int) -> int:
-        """int(cin / g) like the reference, stepped down to a group count
-        that actually divides both channel counts — the reference's own
-        truncation produces invalid convs for several width/variant
-        combinations (e.g. the v2 family at p=64 stage 3: int(512/30)=17),
-        a construction-time crash there."""
+        """int(cin / g) like the reference; see ``repair_groups`` for the
+        step-down applied where the reference's own truncation is
+        invalid."""
         gi = max(cin // g, 1)
+        if not (cin % gi or cout % gi or (self.t * cin) % gi):
+            return gi
+        if not self.repair_groups:
+            raise ValueError(
+                f"invalid group math: int({cin}/{g})={gi} groups does not "
+                f"divide cin={cin}/cout={cout}/t*cin={self.t * cin} — the "
+                "reference crashes constructing this width; pass a width "
+                "whose group counts divide the channel counts (or set "
+                "repair_groups=True to reproduce a documented "
+                "crashes-as-shipped config with stepped-down groups)")
         while gi > 1 and (cin % gi or cout % gi
                           or (self.t * cin) % gi):
             gi -= 1

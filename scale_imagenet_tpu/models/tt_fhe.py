@@ -36,9 +36,13 @@ FHE_BLOCK_VARIANTS = {
     # v3 block (TT_FHE_SMALL.py:434-488): k=2 heads, pad 1, 4x out
     "fhe_v3": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
                    groupvf=4, out_mult=4, fixup="fhe_v3"),
-    # v2 block (TT_FHE.py:384-435): (3,2)/(2,3) kernels, convf -> out
+    # v2 block (TT_FHE.py:384-435): (3,2)/(2,3) kernels, convf -> out.
+    # repair_groups: the reference crashes as shipped at p=64 (head 3:
+    # int(64/6)=10 groups on 64 channels) — stepped down to the nearest
+    # valid divisor here
     "fhe_v2": dict(k12=((3, 2), (2, 3)), pad12=(1, 1), groups=(1, 1, 6, 1),
-                   groupvf=4, out_mult=1, fixup="fhe_v2"),
+                   groupvf=4, out_mult=1, fixup="fhe_v2",
+                   repair_groups=True),
     # xsmall: v3 heads, raw concat output (no fused block)
     "fhe_xsmall": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
                        groupvf=4, out_mult=4, fixup="fhe_v3", fuse=False),

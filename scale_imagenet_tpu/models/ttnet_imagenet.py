@@ -38,8 +38,13 @@ BLOCK_VARIANTS = {
                   groupvf=16, fixup="v2small"),
     "xsmall": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
                    groupvf=4, fixup="v2small"),
+    # repair_groups: the reference v2 file crashes AS SHIPPED at its own
+    # default width (p=64 stage 3: int(512/30)=17 groups on 512 channels,
+    # TT_general_imagenet_v2.py:139) — group counts step down to the
+    # nearest valid divisor here (p=60 is the only width where the
+    # reference's math is valid; parity is tested there)
     "v2": dict(k12=((6, 5), (5, 6)), pad12=(3, 3), groups=(1, 1, 30, 1),
-               groupvf=30, fixup="v2"),
+               groupvf=30, fixup="v2", repair_groups=True),
 }
 
 

@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.ttnet_imagenet import TTnetImageNetConfig, \
     ttnet_imagenet_features
-from ..train.losses import accuracy_topk, cross_entropy
+from ..train.losses import masked_metric_sums
 
 
 def local_config(cfg: TTnetImageNetConfig, n_model: int) \
@@ -116,15 +116,17 @@ def make_tp_eval_step(model, mesh: Mesh, normalize=None):
         images, _ = prepare(images)
         logits, _ = _forward_local(params, state, lcfg, images,
                                    training=False, key=None)
-        # logits replicated over 'model'; metrics averaged over 'data'
-        loss = jax.lax.pmean(cross_entropy(logits, labels), "data")
-        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        # logits replicated over 'model'; labels < 0 mark pad rows of the
+        # padded final batch — sum the masked per-shard sums over 'data'
+        # and divide once, so short-tail shards weight correctly
+        nll_sum, (c1, c5), n_local = masked_metric_sums(logits, labels)
+        n = jax.lax.psum(n_local, "data")
+        denom = jnp.maximum(n, 1.0)
         return {
-            "loss": loss,
-            "top1": jax.lax.pmean(top1, "data"),
-            "top5": jax.lax.pmean(top5, "data"),
-            "n": jax.lax.psum(jnp.asarray(images.shape[0], jnp.float32),
-                              "data"),
+            "loss": jax.lax.psum(nll_sum, "data") / denom,
+            "top1": 100.0 * jax.lax.psum(c1, "data") / denom,
+            "top5": 100.0 * jax.lax.psum(c5, "data") / denom,
+            "n": n,
         }
 
     # specs depend on the param tree structure, so the shard_map+jit is

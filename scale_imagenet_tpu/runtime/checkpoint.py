@@ -76,7 +76,16 @@ class CheckpointManager:
         self.keep = keep
         os.makedirs(root, exist_ok=True)
         self._saved: list[str] = []
+        # restore the best metric from a prior run in this dir — without
+        # this, a resumed run's first epoch (any metric > -inf) would
+        # re-point 'best' and DESTROY the previous run's genuinely-best
+        # checkpoint (the link reap in _update_link deletes superseded
+        # targets)
         self.best_metric = -float("inf")
+        best_json = os.path.join(root, "best.json")
+        if os.path.exists(best_json):
+            with open(best_json) as f:
+                self.best_metric = float(json.load(f)["metric"])
 
     def save(self, step: int, payload: dict, metric: float | None = None,
              metadata: dict | None = None):
@@ -86,6 +95,8 @@ class CheckpointManager:
         self._update_link("last", path)
         if metric is not None and metric > self.best_metric:
             self.best_metric = metric
+            with open(os.path.join(self.root, "best.json"), "w") as f:
+                json.dump({"metric": metric, "step": step}, f)
             self._update_link("best", path)
         while len(self._saved) > self.keep:
             old = self._saved.pop(0)

@@ -38,8 +38,10 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
         batch_time.update(time.time() - end)
         end = time.time()
 
-        if (verbose or logger is not None) and \
-                batch_idx % log_interval == 0:
+        if batch_idx % log_interval == 0:
+            # drain unconditionally: this is the loop's backpressure point
+            # — without it a silent eval accumulates every batch's device
+            # buffers and dispatches the whole stream unpaced
             drain()
             if verbose:
                 print(f"eval [{batch_idx}] loss {losses.avg:.3f} "

@@ -16,7 +16,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.sharding import batch_sharding, replicate, \
     ttnet_param_shardings
-from .losses import accuracy_topk, cross_entropy
+from .losses import accuracy_topk, cross_entropy, masked_metric_sums
 
 
 class TrainState(NamedTuple):
@@ -78,10 +78,13 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
             images = images.astype(pdt)
         logits, _ = model.apply(params, state, images, training=False,
                                 key=step_key)
-        loss = cross_entropy(logits, labels)
-        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
-        return {"loss": loss, "top1": top1, "top5": top5,
-                "n": jnp.asarray(images.shape[0], jnp.float32)}
+        # labels < 0 mark pad rows in the (padded) final short batch —
+        # metrics count valid rows only, so every val image is scored
+        # without a second compiled program for the tail
+        nll_sum, (c1, c5), n = masked_metric_sums(logits, labels)
+        denom = jnp.maximum(n, 1.0)
+        return {"loss": nll_sum / denom, "top1": 100.0 * c1 / denom,
+                "top5": 100.0 * c5 / denom, "n": n}
 
     if mesh is None:
         jitted = jax.jit(step_fn)

@@ -1,6 +1,8 @@
 """Harness tests: data pipeline, losses, sharded eval step on the 8-device
 CPU mesh, checkpoint round-trip."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -98,6 +100,68 @@ def test_stochastic_eval_fresh_noise_per_batch():
     # (key=None determinism is covered by
     # test_sharded_eval_step_matches_single_device on a T=0 model;
     # tt_certif itself REQUIRES a key at eval — T_test != 0.)
+
+
+def test_eval_pad_mask_counts_every_image():
+    """pad+mask of the final short batch (the reference's drop_last=False,
+    /root/reference/main.py:214-215): eval over a 10-image set at B=4
+    (pads 2 rows) must produce EXACTLY the metrics of one full B=10 batch
+    — every image scored once, pad rows scored never."""
+    from scale_imagenet_tpu.data import pad_batches
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.runtime.evaluate import evaluate
+
+    model = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4, layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                           (10, 224, 224, 3)))
+    labels = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (10,),
+                                           0, 1000))
+
+    step = make_eval_step(model)
+    whole = step(params, state, jnp.asarray(images), jnp.asarray(labels))
+    assert float(whole["n"]) == 10.0
+
+    batches = [(images[i:i + 4], labels[i:i + 4]) for i in range(0, 10, 4)]
+    assert len(batches[-1][0]) == 2   # genuine short tail
+    t1, t5, loss = evaluate(step, params, state,
+                            pad_batches(iter(batches), 4), verbose=False)
+    np.testing.assert_allclose(t1, float(whole["top1"]), atol=1e-4)
+    np.testing.assert_allclose(t5, float(whole["top5"]), atol=1e-4)
+    np.testing.assert_allclose(loss, float(whole["loss"]), rtol=1e-5)
+
+
+def test_pad_batches_shapes():
+    from scale_imagenet_tpu.data import pad_batches
+
+    it = iter([(np.zeros((4, 2, 2, 3)), np.arange(4)),
+               (np.ones((1, 2, 2, 3)), np.asarray([9]))])
+    out = list(pad_batches(it, 4))
+    assert [b[0].shape[0] for b in out] == [4, 4]
+    np.testing.assert_array_equal(out[1][1], [9, -1, -1, -1])
+    # pad rows repeat the last real row (any valid pixels work; repeats
+    # keep value ranges realistic)
+    np.testing.assert_array_equal(out[1][0][1], out[1][0][0])
+
+
+def test_checkpoint_best_metric_persists(tmp_path):
+    """A resumed run must not re-point (and thereby delete) the previous
+    run's genuinely-best checkpoint on its first, worse epoch."""
+    from scale_imagenet_tpu.runtime.checkpoint import CheckpointManager
+
+    payload = {"params": {"w": jnp.arange(3.0)}}
+    m1 = CheckpointManager(str(tmp_path), keep=2)
+    m1.save(1, payload, metric=90.0)
+    best1 = os.path.realpath(str(tmp_path / "best"))
+
+    # fresh manager over the same dir (a resumed run)
+    m2 = CheckpointManager(str(tmp_path), keep=2)
+    assert m2.best_metric == 90.0
+    m2.save(2, payload, metric=50.0)   # worse: best must not move
+    assert os.path.realpath(str(tmp_path / "best")) == best1
+    assert os.path.isdir(best1)        # and must not be deleted
+    m2.save(3, payload, metric=95.0)   # better: best moves
+    assert os.path.realpath(str(tmp_path / "best")) != best1
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -66,6 +66,43 @@ def test_gate_count_consistency():
     assert count_term_gates([(0b10, 0b01), (0b01, 0b10)], 2) == 1
 
 
+@pytest.mark.parametrize("n,seed", [(4, 0), (5, 1), (6, 2), (7, 3), (8, 4)])
+def test_native_vs_sympy_minimizer(n, seed):
+    """Cross-check the native greedy cover against sympy SOPform on random
+    functions: identical SEMANTICS always, and the two gate meters —
+    ``count_gates`` (string counting) and ``count_term_gates`` (cube
+    accounting) — agree exactly on the same cover, so the trained-model
+    gate count is reference-comparable.  Gate QUALITY: the greedy cover is
+    near-minimal, not minimum — measured over random tables it tracks
+    sympy within ~10 % (occasionally above at n>=8; see
+    results/minimizer_compare.json for n=9-12 ratios)."""
+    from scale_imagenet_tpu.compile.logic import count_gates
+
+    rng = np.random.default_rng(seed)
+    col = rng.random(2**n) < rng.uniform(0.25, 0.75)
+    mts = np.nonzero(col)[0].tolist()
+    if not mts or len(mts) == 2**n:
+        pytest.skip("degenerate table")
+    terms = minimize_terms(mts, n)
+
+    # 1) exact semantics vs the table (brute force over all 2^n)
+    idx = np.arange(2**n, dtype=np.uint32)
+    got = np.zeros(2**n, bool)
+    for v, m in terms:
+        got |= ((idx ^ v) & ~np.uint32(m)) == 0
+    np.testing.assert_array_equal(got, col)
+
+    # 2) meter unification: string-count of the emitted DNF == cube count
+    assert count_gates(terms_to_dnf(terms, n)) == count_term_gates(terms, n)
+
+    # 3) quality envelope vs sympy SOPform (same string meter both sides)
+    g_sympy = count_gates(
+        minimize_truth_table(mts, n, engine="sympy")["dnf"])
+    g_native = count_term_gates(terms, n)
+    assert g_native <= max(1.15 * g_sympy, g_sympy + 4), \
+        (n, seed, g_native, g_sympy)
+
+
 def test_expand_cover_exact_n16():
     """The espresso-style expand-and-cover handles n=16 (the reference's
     TODO at TT_FHE_SMALL.py:428-430) and its covers verify exact."""

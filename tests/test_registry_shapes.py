@@ -53,3 +53,22 @@ def test_model_traces(name):
 
     logits, _ = jax.eval_shape(apply, params, state, x)
     assert logits.shape == (2, ncls), (name, logits.shape)
+
+
+def test_invalid_width_raises_not_repairs():
+    """A typo'd width must ERROR, not silently step groups down to a
+    different architecture — the step-down repair is reserved for the
+    documented crashes-as-shipped reference configs (repair_groups=True
+    in BLOCK_VARIANTS['v2'] / FHE 'fhe_v2')."""
+    m = get_model("ttnet_imagenet_small", nfilter=7, tfilter=9)  # p=63
+    with pytest.raises(ValueError, match="invalid group math"):
+        for b in m.config.block_configs():
+            b.head_cfgs()
+            b.convf_cfg()
+    # the documented broken-as-shipped configs still build (stepped down)
+    for b in get_model("ttnet_imagenet_v2").config.block_configs():
+        b.head_cfgs()
+        b.convf_cfg()
+    for b in get_model("TT_FHE_small").config.block_configs():
+        b.head_cfgs()
+        b.convf_cfg()
