@@ -39,6 +39,21 @@ def _timed(loop, params, state, x) -> float:
     return time.perf_counter() - t0
 
 
+def _ips(apply_fn, params, state, x, iters=ITERS) -> float:
+    """In-graph fori_loop throughput (img/s); see the design note below."""
+    @jax.jit
+    def loop(params, state, x):
+        def body(i, acc):
+            logits = apply_fn(params, state,
+                              x + (acc * 0.0).astype(x.dtype))
+            return acc + logits[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    float(loop(params, state, x))  # compile + warmup
+    dt = min(_timed(loop, params, state, x) for _ in range(3))
+    return x.shape[0] * iters / dt
+
+
 def main():
     from scale_imagenet_tpu.models import get_model
 
@@ -50,33 +65,51 @@ def main():
     # dominate).  The accumulator chains iterations so none can be elided,
     # and the final host read closes the timing region (block_until_ready
     # can return early over the experimental axon tunnel).
-    @jax.jit
-    def loop(params, state, x):
-        def body(i, acc):
-            logits, _ = model.apply(params, state, x + acc * 0.0,
-                                    training=False)
-            return acc + logits[0, 0]
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+    def conv_apply(p, s, xx):
+        return model.apply(p, s, xx, training=False)[0]
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 224, 224, 3),
                            jnp.float32)
     params = jax.device_put(params)
     state = jax.device_put(state)
 
-    float(loop(params, state, x))  # compile + warmup
-
-    # best of 3: the axon tunnel adds run-to-run jitter on the final host
-    # read; the in-graph loop itself is deterministic device work
-    dt = min(_timed(loop, params, state, x) for _ in range(3))
-
-    ips = BATCH * ITERS / dt
+    ips = _ips(conv_apply, params, state, x)
     baseline = torch_cpu_baseline()
-    print(json.dumps({
+    result = {
         "metric": "ttnet_small_imagenet_eval_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 2),
-    }))
+    }
+
+    # the full serving story (best-effort — the headline metric above is
+    # already secured): B=1 latency where the compiled-LUT network wins,
+    # bf16 serving, and compiled-LUT throughput
+    try:
+        x1 = x[:1]
+        result["conv_b1_ms"] = round(1e3 / _ips(conv_apply, params, state,
+                                                x1, iters=40), 3)
+
+        from scale_imagenet_tpu.utils import cast_floating
+        pb, sb = cast_floating(params), cast_floating(state)
+        result["conv_bf16_b256_ips"] = round(
+            _ips(conv_apply, pb, sb, x.astype(jnp.bfloat16)), 1)
+
+        from scale_imagenet_tpu.compile import compile_ttnet_lut, \
+            lut_ttnet_apply
+
+        luts = jax.device_put(compile_ttnet_lut(params, state, model.config))
+
+        def lut_apply(p, s, xx):
+            return lut_ttnet_apply(luts, p, s, model.config, xx)
+
+        result["lut_b256_ips"] = round(_ips(lut_apply, params, state, x), 1)
+        result["lut_b1_ms"] = round(1e3 / _ips(lut_apply, params, state,
+                                               x1, iters=40), 3)
+    except Exception as e:  # noqa: BLE001 — extras must never kill the line
+        result["extras_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

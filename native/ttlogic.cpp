@@ -70,8 +70,11 @@ std::vector<Implicant> prime_implicants(
     return primes;
 }
 
-// Greedy largest-coverage-first set cover over precomputed coverage
-// bitsets (uint64 blocks) — O(primes * minterms / 64) per pick.
+// Set cover over precomputed coverage bitsets (uint64 blocks):
+// essential primes first (the QMC step sympy also applies — a prime that
+// is the ONLY cover of some minterm is in every minimal cover), then
+// greedy largest-coverage with a fewest-literals tie-break, then a
+// reverse redundancy pass dropping cubes fully covered by the others.
 std::vector<Implicant> greedy_cover(const std::vector<Implicant>& primes,
                                     const std::vector<uint32_t>& minterms) {
     const size_t nm = minterms.size();
@@ -81,34 +84,78 @@ std::vector<Implicant> greedy_cover(const std::vector<Implicant>& primes,
     };
     std::vector<std::vector<uint64_t>> cov(
         primes.size(), std::vector<uint64_t>(nblocks, 0));
+    std::vector<int> cover_count(nm, 0);
+    std::vector<int> sole_cover(nm, -1);
     for (size_t pi = 0; pi < primes.size(); ++pi)
         for (size_t mi = 0; mi < nm; ++mi)
-            if (covers(primes[pi], minterms[mi]))
+            if (covers(primes[pi], minterms[mi])) {
                 cov[pi][mi >> 6] |= 1ull << (mi & 63);
+                cover_count[mi]++;
+                sole_cover[mi] = (int)pi;
+            }
 
     std::vector<uint64_t> uncovered(nblocks, ~0ull);
     if (nm & 63) uncovered[nblocks - 1] = (1ull << (nm & 63)) - 1;
     size_t remaining = nm;
-    std::vector<Implicant> chosen;
+    std::vector<size_t> chosen_idx;
+    std::vector<char> picked(primes.size(), 0);
+
+    auto pick = [&](size_t pi) {
+        chosen_idx.push_back(pi);
+        picked[pi] = 1;
+        for (size_t b = 0; b < nblocks; ++b) {
+            remaining -= (size_t)__builtin_popcountll(cov[pi][b]
+                                                      & uncovered[b]);
+            uncovered[b] &= ~cov[pi][b];
+        }
+    };
+
+    // essential primes: sole cover of some minterm
+    for (size_t mi = 0; mi < nm; ++mi)
+        if (cover_count[mi] == 1 && !picked[sole_cover[mi]])
+            pick((size_t)sole_cover[mi]);
+
     while (remaining > 0) {
         int best = -1;
         size_t best_count = 0;
+        int best_lits = 0;
         for (size_t pi = 0; pi < primes.size(); ++pi) {
+            if (picked[pi]) continue;
             size_t cnt = 0;
             for (size_t b = 0; b < nblocks; ++b)
                 cnt += (size_t)__builtin_popcountll(cov[pi][b]
                                                     & uncovered[b]);
-            if (cnt > best_count) {
+            int lits = __builtin_popcount(~primes[pi].mask
+                                          & 0xffffffffu);
+            if (cnt > best_count
+                || (cnt == best_count && cnt > 0 && lits < best_lits)) {
                 best_count = cnt;
                 best = (int)pi;
+                best_lits = lits;
             }
         }
         if (best < 0) break;  // should not happen
-        chosen.push_back(primes[best]);
-        for (size_t b = 0; b < nblocks; ++b)
-            uncovered[b] &= ~cov[best][b];
-        remaining -= best_count;
+        pick((size_t)best);
     }
+
+    // redundancy elimination: drop any chosen cube whose minterms are all
+    // covered by the OTHER chosen cubes (greedy picks can become
+    // redundant once later picks land); iterate smallest-coverage first
+    std::vector<char> keep(chosen_idx.size(), 1);
+    for (size_t ci = chosen_idx.size(); ci-- > 0;) {
+        std::vector<uint64_t> rest(nblocks, 0);
+        for (size_t cj = 0; cj < chosen_idx.size(); ++cj)
+            if (cj != ci && keep[cj])
+                for (size_t b = 0; b < nblocks; ++b)
+                    rest[b] |= cov[chosen_idx[cj]][b];
+        bool redundant = true;
+        for (size_t b = 0; b < nblocks && redundant; ++b)
+            if (cov[chosen_idx[ci]][b] & ~rest[b]) redundant = false;
+        if (redundant) keep[ci] = 0;
+    }
+    std::vector<Implicant> chosen;
+    for (size_t ci = 0; ci < chosen_idx.size(); ++ci)
+        if (keep[ci]) chosen.push_back(primes[chosen_idx[ci]]);
     return chosen;
 }
 

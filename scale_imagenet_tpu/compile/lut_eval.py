@@ -117,24 +117,24 @@ def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray, *,
     cfg = lut.cfg
     if cfg.padding != 0:
         x_bits = constant_pad2d(x_bits, cfg.padding)
+    # bits may flow in bf16 (halved HBM traffic): products w_j * b_j are
+    # exact (power-of-two weights, 0/1 bits) and the f32 accumulation
+    # makes the integer index exact up to 2^24
     idx = jax.lax.conv_general_dilated(
-        x_bits, lut.index_w, window_strides=(cfg.stride, cfg.stride),
+        x_bits, lut.index_w.astype(x_bits.dtype),
+        window_strides=(cfg.stride, cfg.stride),
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=cfg.groupsici)
+        feature_group_count=cfg.groupsici,
+        preferred_element_type=jnp.float32)
     idx = idx.astype(jnp.int32)                        # (B, H, W, G)
+    out_dtype = jnp.float32 if cfg.last else x_bits.dtype
     if _use_pallas(lut, pallas):
         from ..pallas.lut_gather import lut_gather_nhwc
-        if interpret:
-            tile_rows = 8
-        else:
-            # fit the tile to the actual lookup count: the kernel pads E
-            # up to tile_rows*128, so a fixed 512 would compute ~21x the
-            # needed work at B=1 (56x56 -> E=3136 -> 25 rows)
-            e = idx.shape[0] * idx.shape[1] * idx.shape[2]
-            rows = -(-e // 128)
-            tile_rows = min(512, -(-rows // 8) * 8)
+        # tile_rows is a cap — the kernel driver clamps it to the VMEM
+        # budget (all-F blocks) and balances tiles against padding waste
+        tile_rows = 8 if interpret else 512
         return lut_gather_nhwc(lut.packed, idx, tile_rows=tile_rows,
-                               interpret=interpret)
+                               interpret=interpret, out_dtype=out_dtype)
     out_per_group = cfg.out_planes // cfg.groupsici
     # filter f belongs to group f // out_per_group; flat gather over
     # (out_planes * 2^n)
@@ -142,7 +142,7 @@ def lut_block_tt_apply(lut: BlockLUT, x_bits: jnp.ndarray, *,
     idx_full = jnp.repeat(idx, out_per_group, axis=-1)  # (B,H,W,out)
     f_offsets = jnp.arange(cfg.out_planes, dtype=jnp.int32) * n_entries
     flat = lut.table.reshape(-1)
-    return jnp.take(flat, idx_full + f_offsets)
+    return jnp.take(flat, idx_full + f_offsets).astype(out_dtype)
 
 
 @dataclasses.dataclass
@@ -199,8 +199,10 @@ def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
     cat = channel_interleave(cat, cfg.cpt)
     if convf_float is not None and lut.convf.cfg.last:
         from ..models.block_tt import block_tt
+        # the float block must see f32 bits — its conv/BN/GELU numerics
+        # are part of the bit-faithfulness contract
         y, _ = block_tt(convf_float[0], convf_float[1], lut.convf.cfg,
-                        cat, training=False)
+                        cat.astype(jnp.float32), training=False)
         return y
     return lut_block_tt_apply(lut.convf, cat, pallas=pallas,
                               interpret=interpret)
@@ -216,12 +218,19 @@ def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
 
 def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
                     pallas: bool | None = None, interpret: bool = False,
-                    last_via_conv: bool = True):
+                    last_via_conv: bool = True, bits_dtype=None):
     """Full LUT-mode forward of a ttnet_imagenet model: float stem and
     classifier, table-lookup blocks.  ``last_via_conv`` serves the final
     (ReLU, float-valued) fuse head as the float conv instead of a float
     table walk — identical function, conv-speed (see lut_multihead_apply);
-    set False for the table-exact export semantics."""
+    set False for the table-exact export semantics.
+
+    ``bits_dtype``: dtype of the {0,1} activations flowing between LUT
+    blocks — bf16 on TPU by default, which halves the HBM traffic of the
+    layout transposes/pads/pools around the gather kernels while staying
+    BIT-EXACT (bits, quarter-valued pool means, and the f32-accumulated
+    indices are all exactly representable; every float op — stem,
+    last-block conv, classifier — still runs f32)."""
     from ..layers.conv import conv2d
     from ..layers.norm import batch_norm
     from ..layers.pool import avg_pool as _ap, flatten
@@ -236,6 +245,10 @@ def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
         h = conv2d(params["stem_conv"], h, stride=2, padding=3)
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
     h = binarize01_act(h)
+    if bits_dtype is None:
+        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    h = h.astype(bits_dtype)
     for i, lut in enumerate(luts):
         cf = None
         if last_via_conv and lut.convf is not None and lut.convf.cfg.last:
@@ -245,5 +258,6 @@ def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
     h = _ap(h, 2)
     h = flatten(h)
     logits, _ = classifier_scale(params["classifier"],
-                                 state["classifier"], h, False)
+                                 state["classifier"],
+                                 h.astype(jnp.float32), False)
     return logits

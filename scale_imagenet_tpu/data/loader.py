@@ -23,11 +23,12 @@ class DataLoader:
                  rank: int = 0, world: int = 1):
         """``rank``/``world``: multi-process feeding (the reference's
         DistributedSampler, main.py:205-210) — every process draws the
-        SAME seeded permutation, then takes an equal contiguous
-        ``len(dataset)//world`` slice, so per-rank batch counts and the
-        final short-batch length agree on every rank (collective
-        global-batch assembly needs identical local shapes at every
-        step).  ``len(dataset) % world`` trailing images are dropped."""
+        SAME seeded permutation, then takes a contiguous
+        ``ceil(len(dataset)/world)`` slice.  With ``drop_last`` the
+        global tail past min-rank coverage is dropped (training, equal
+        FULL batches everywhere); without it short ranks emit all-pad
+        filler batches (labels -1, masked from metric sums) up to the
+        max rank count, so every image is scored in lockstep (eval)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,10 +43,23 @@ class DataLoader:
         self._epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset) // self.world
+        n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return (n // self.world) // self.batch_size
+        per = -(-n // self.world)   # ceil: max rank slice
+        return -(-per // self.batch_size)
+
+    def _filler_batches(self):
+        """All-pad lockstep filler count for this rank (eval, world>1):
+        ranks march to the MAX rank batch count; pad rows carry label -1
+        and are masked out of the metric sums."""
+        if self.drop_last or self.world <= 1:
+            return 0
+        n = len(self.dataset)
+        per = -(-n // self.world)
+        mine = max(0, min(per, n - self.rank * per))
+        return -(-per // self.batch_size) - (-(-mine // self.batch_size)
+                                             if mine else 0)
 
     def __iter__(self):
         idx = np.arange(len(self.dataset))
@@ -53,7 +67,8 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         if self.world > 1:
-            per = len(idx) // self.world
+            per = (len(idx) // self.world if self.drop_last
+                   else -(-len(idx) // self.world))
             idx = idx[self.rank * per:(self.rank + 1) * per]
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
@@ -76,6 +91,7 @@ class DataLoader:
                 b = next(it, None)
                 if b is not None:
                     pending.append(submit(b))
+            shape = None
             while pending:
                 items = [f.result() for f in pending.popleft()]
                 b = next(it, None)
@@ -83,7 +99,16 @@ class DataLoader:
                     pending.append(submit(b))
                 images = np.stack([i[0] for i in items])
                 labels = np.asarray([i[1] for i in items], np.int32)
+                shape = images.shape[1:]
                 yield images, labels
+        n_fill = self._filler_batches()
+        if n_fill and shape is None:   # empty rank slice (world > n)
+            probe = np.asarray(self.dataset[0][0])
+            shape, images = probe.shape, probe[None]
+        for _ in range(n_fill):
+            yield (np.zeros((self.batch_size,) + tuple(shape),
+                            images.dtype),
+                   np.full((self.batch_size,), -1, np.int32))
 
 
 def pad_batches(iterator, batch_size: int):

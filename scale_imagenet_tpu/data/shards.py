@@ -175,8 +175,28 @@ class ShardDataset:
                     yield cur, lbl
 
         # multi-host: every yielded batch must be FULL (collective
-        # global-batch assembly needs identical per-process shapes), so
-        # world>1 implies drop_last on every rank regardless of the flag
+        # global-batch assembly needs identical per-process shapes).
+        # drop_last=False: every rank pads its short tail AND appends
+        # all-pad batches (labels -1, masked out of the metric sums) up
+        # to the MAX per-rank count, so ranks stay in lockstep and every
+        # image on every rank is scored.  drop_last=True keeps the
+        # historical lockstep truncation (training).
+        if world > 1 and not drop_last:
+            from .loader import pad_batches
+
+            target = self.rank_batches(batch_size, False, world)
+            count = 0
+            for img, lbl in pad_batches(
+                    self._slice_batches(shard_stream(), batch_size, False),
+                    batch_size):
+                count += 1
+                yield img, lbl
+            shape = tuple(self.meta["shape"])
+            while count < target:   # all-pad lockstep filler
+                count += 1
+                yield (np.zeros((batch_size,) + shape, np.uint8),
+                       np.full((batch_size,), -1, np.int32))
+            return
         it = self._slice_batches(shard_stream(), batch_size,
                                  drop_last or world > 1)
         if world > 1:
@@ -189,17 +209,20 @@ class ShardDataset:
 
     def rank_batches(self, batch_size: int, drop_last: bool,
                      world: int) -> int:
-        """min over ranks of the per-rank batch count — the lockstep
-        truncation every rank applies independently.  With world>1 only
-        FULL batches count (short tails would give ranks mismatched
-        shapes at the same step)."""
+        """The lockstep per-rank batch count every rank computes
+        independently from shared metadata.  drop_last=True (training):
+        MIN over ranks of full batches — truncation.  drop_last=False
+        (eval): MAX over ranks of ceil batches — short ranks emit
+        all-pad filler batches so every image everywhere is scored."""
         counts = []
         for r in range(world):
             n = sum(len(self._images[s]) for s in range(len(self._paths))
                     if s % world == r)
-            counts.append(n // batch_size if (drop_last or world > 1)
+            counts.append(n // batch_size if drop_last
                           else -(-n // batch_size))
-        return min(counts) if counts else 0
+        if not counts:
+            return 0
+        return min(counts) if drop_last else max(counts)
 
     def _slice_batches(self, shards, batch_size, drop_last):
         img_parts, lbl_parts, have = [], [], 0

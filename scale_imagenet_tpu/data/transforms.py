@@ -75,6 +75,18 @@ def imagenet_eval_crop_u8(img) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def imagenet_train_crop_u8(img) -> np.ndarray:
+    """Resize(256) -> CenterCrop(256) as HWC uint8: the PRE-CROP storage
+    stage for on-device train augmentation — RandomResizedCrop + flip +
+    ColorJitter then run INSIDE the jitted train step
+    (train/augment.py), so the 5.5k img/s shard pipeline can feed the
+    full reference recipe instead of the flip-only approximation."""
+    img = img.convert("RGB")
+    img = _resize_shorter(img, 256)
+    img = _center_crop(img, 256)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _random_resized_crop(img, size: int, rng,
                          scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
     w, h = img.size

@@ -218,12 +218,17 @@ def main(argv=None):
     from .train import MetricsLogger, make_eval_step
 
     if cfg.write_shards:
-        # pure host-side decode pass — no model, no device
+        # pure host-side decode pass — no model, no device.  The train
+        # split stores PRE-CROP 256^2 so RandomResizedCrop+jitter can run
+        # on-device (train/augment.py); val stores the eval 224^2 crop.
         from .data.shards import write_shards
-        from .data.transforms import imagenet_eval_crop_u8
+        from .data.transforms import imagenet_eval_crop_u8, \
+            imagenet_train_crop_u8
 
+        crop = imagenet_train_crop_u8 if cfg.shards_split == "train" \
+            else imagenet_eval_crop_u8
         src = ImageFolder(os.path.join(cfg.data_dir, cfg.shards_split),
-                          imagenet_eval_crop_u8)
+                          crop)
         meta = write_shards(src, cfg.write_shards,
                             num_workers=cfg.num_workers)
         print(f"wrote {meta['n']} images -> {cfg.write_shards}")
@@ -370,17 +375,24 @@ def main(argv=None):
     local_tbs = cfg.train_batch_size // world
     train_kwargs = {}
     if cfg.shards_dir:
-        # pre-decoded uint8 shards: normalize + random-flip on device
-        # (RandomResizedCrop/ColorJitter need the JPEG path — this is the
-        # fast-feeding approximation, data/shards.py)
+        # pre-decoded uint8 shards, augmented ON DEVICE: pre-crop shards
+        # (stored larger than the model input, e.g. 256^2) get the full
+        # reference recipe — RandomResizedCrop + flip + ColorJitter
+        # inside the jitted step (train/augment.py); same-size shards get
+        # the flip-only approximation
         from .data.shards import shard_loader
         from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
         loader = shard_loader(cfg.shards_dir, local_tbs,
                               drop_last=True, shuffle=True, seed=cfg.seed,
                               rank=rank, world=world)
+        shard_hw = loader.dataset.meta["shape"][0]
+        full_recipe = shard_hw > getattr(model.config, "image_size", 224)
+        if is_coord and full_recipe:
+            print(f"on-device augmentation: RandomResizedCrop({shard_hw}"
+                  f"->{model.config.image_size}) + flip + ColorJitter")
         train_kwargs = dict(normalize=(IMAGENET_MEAN, IMAGENET_STD),
-                            augment=True)
+                            augment="full" if full_recipe else True)
     else:
         train_ds = ImageFolder(os.path.join(cfg.data_dir, "train"),
                                imagenet_train_transform)

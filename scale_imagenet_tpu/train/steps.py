@@ -26,15 +26,33 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_input_pipeline(normalize=None, augment: bool = False):
+def make_input_pipeline(normalize=None, augment=False,
+                        image_size: int = 224):
     """The on-device input stage shared by every step factory: optional
     uint8 normalization (the shard pipeline: u8 -> f32/255 -> (x-m)/s,
-    exact) and optional per-sample random horizontal flip.  Returns
-    ``prepare(images, key) -> (images, key)`` — ``key`` is split when the
-    flip consumes randomness so callers pass the remainder onward."""
+    exact) and optional augmentation.  Returns ``prepare(images, key) ->
+    (images, key)`` — ``key`` is split when augmentation consumes
+    randomness so callers pass the remainder onward.
+
+    ``augment``: False | True (random horizontal flip — the fast
+    approximation for same-size shards) | "full" (RandomResizedCrop +
+    flip + ColorJitter from PRE-CROP shards, e.g. 256^2 -> 224^2; the
+    reference imgnet recipe, train/augment.py)."""
     if normalize is not None:
         _mean = jnp.asarray(normalize[0], jnp.float32)
         _std = jnp.asarray(normalize[1], jnp.float32)
+
+    if augment == "full":
+        from .augment import make_rrc_flip_jitter
+
+        full_aug = make_rrc_flip_jitter(out_size=image_size,
+                                        normalize=normalize)
+
+        def prepare(images, key=None):
+            key, akey = jax.random.split(key)
+            return full_aug(images, akey), key
+
+        return prepare
 
     def prepare(images, key=None):
         if normalize is not None:
@@ -113,7 +131,7 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
 
 def make_train_step(model, tx, mesh: Mesh | None = None,
                     amp: bool = False, normalize=None,
-                    augment: bool = False):
+                    augment=False):
     """Returns ``train_step(ts: TrainState, images, labels, key)``.
 
     The multi-device version runs under shard_map — NOT GSPMD: XLA's SPMD
@@ -134,11 +152,13 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
     stays bounded at bf16 rounding (~0.4%) rather than accumulating.
 
     ``normalize``: optional ``(mean, std)`` — uint8 batches (the shard
-    pipeline) normalize on-device.  ``augment``: per-sample random
-    horizontal flip on-device (the shard-training augmentation; the full
-    RandomResizedCrop+jitter recipe needs the JPEG path).
+    pipeline) normalize on-device.  ``augment``: False | True (random
+    flip) | "full" (RandomResizedCrop + flip + ColorJitter from pre-crop
+    shards — the reference imgnet recipe, train/augment.py).
     """
-    prepare = make_input_pipeline(normalize, augment)
+    image_size = getattr(model.config, "image_size", 224)
+    prepare = make_input_pipeline(normalize, augment,
+                                  image_size=image_size)
 
     def loss_fn(params, state, images, labels, key):
         images, key = prepare(images, key)

@@ -144,6 +144,30 @@ def test_pad_batches_shapes():
     np.testing.assert_array_equal(out[1][0][1], out[1][0][0])
 
 
+def test_dataloader_multirank_eval_counts_every_image():
+    """world>1 without drop_last (eval): rank slices cover ALL images,
+    short ranks emit all-pad filler batches so batch counts stay in
+    lockstep; with drop_last (training) the old equal-truncation."""
+    images = np.arange(10 * 4, dtype=np.float32).reshape(10, 2, 2)
+    labels = np.arange(10)
+    ds = ArrayDataset(images, labels)
+    # eval: per = ceil(10/3) = 4 -> rank slices 4,4,2; 1 batch of 4 each
+    seen = []
+    for r in range(3):
+        ld = DataLoader(ds, batch_size=4, num_workers=2, rank=r, world=3)
+        got = list(ld)
+        assert len(got) == len(ld) == 1
+        seen.append(got[0][1])
+    lbls = np.concatenate(seen)
+    assert (lbls >= 0).sum() == 10          # every image exactly once
+    np.testing.assert_array_equal(np.sort(lbls[lbls >= 0]), np.arange(10))
+    # training: drop_last -> equal FULL batch counts (truncation)
+    for r in range(3):
+        ld = DataLoader(ds, batch_size=3, num_workers=2, rank=r, world=3,
+                        drop_last=True)
+        assert len(list(ld)) == len(ld) == 1
+
+
 def test_checkpoint_best_metric_persists(tmp_path):
     """A resumed run must not re-point (and thereby delete) the previous
     run's genuinely-best checkpoint on its first, worse epoch."""

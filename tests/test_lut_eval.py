@@ -81,6 +81,12 @@ def test_full_model_lut_forward():
                               last_via_conv=False)
     np.testing.assert_allclose(np.asarray(got_tab), np.asarray(got),
                                rtol=1e-4, atol=1e-4)
+    # bf16 bit flow (the TPU serving default) is bit-exact: bits, pooled
+    # quarter-means and f32-accumulated indices are all representable, so
+    # the logits are IDENTICAL to the f32 bit flow
+    got_bf16 = lut_ttnet_apply(luts, params, state, m.config, x,
+                               bits_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got_bf16), np.asarray(got))
 
 
 def test_lut_store_roundtrip(tmp_path):

@@ -118,25 +118,51 @@ def test_device_normalize_equivalence(jpeg_tree, shard_dir):
 
 
 def test_multihost_rank_partition(shard_dir):
-    """rank/world round-robin: disjoint, order-preserving, and in
-    LOCKSTEP — every rank yields the same number of FULL batches
-    (collective global-batch assembly needs identical shapes), so the
-    global tail past min-rank coverage is dropped."""
+    """rank/world round-robin with drop_last (training): disjoint,
+    order-preserving, and in LOCKSTEP — every rank yields the same
+    number of FULL batches (collective global-batch assembly needs
+    identical shapes), so the global tail past min-rank coverage is
+    dropped."""
     out, meta = shard_dir
     ds = ShardDataset(out)
     # shards of 3,3,3,1: rank0 -> 6 imgs (2 full batches of 3),
     # rank1 -> 4 imgs (1 full batch) => lockstep cap = 1 batch each
     parts = []
     for r in range(2):
-        got = list(ds.iter_batches(3, rank=r, world=2))
+        got = list(ds.iter_batches(3, drop_last=True, rank=r, world=2))
         assert len(got) == 1
         assert all(len(b[1]) == 3 for b in got)  # full batches only
         parts.append(np.concatenate([b[1] for b in got]))
-        ld = shard_loader(out, 3, rank=r, world=2)
+        ld = shard_loader(out, 3, drop_last=True, rank=r, world=2)
         assert len(list(ld)) == len(ld) == 1
     # disjoint, order-preserving: rank r starts at shard r
     np.testing.assert_array_equal(parts[0], ds._labels[0][:3])
     np.testing.assert_array_equal(parts[1], ds._labels[1][:3])
+
+
+def test_multihost_eval_pads_every_image(shard_dir):
+    """drop_last=False with world>1 (eval): every rank pads its short
+    tail AND emits all-pad filler batches up to the MAX rank count —
+    lockstep shapes, zero images dropped (label -1 marks pad rows,
+    masked out of the metric sums)."""
+    out, meta = shard_dir
+    ds = ShardDataset(out)
+    # rank0 -> 6 imgs (2 full batches), rank1 -> 4 imgs (1 full + 1
+    # padded) => both ranks yield exactly 2 batches of 3
+    all_labels = []
+    for r in range(2):
+        got = list(ds.iter_batches(3, drop_last=False, rank=r, world=2))
+        assert len(got) == 2
+        assert all(len(b[1]) == 3 for b in got)   # identical shapes
+        all_labels.append(np.concatenate([b[1] for b in got]))
+        assert len(shard_loader(out, 3, drop_last=False,
+                                rank=r, world=2)) == 2
+    real = np.concatenate(all_labels)
+    real = real[real >= 0]
+    # every one of the 10 images scored exactly once
+    assert len(real) == meta["n"]
+    np.testing.assert_array_equal(np.sort(real),
+                                  np.sort(np.concatenate(ds._labels)))
 
 
 def test_shuffle_epochs_differ_same_multiset(shard_dir):
@@ -237,10 +263,11 @@ def test_uneven_rank_partition_lockstep(tmp_path):
     out = str(tmp_path / "uneven")
     write_shards(Synth(), out, shard_size=3)  # 3 shards over world=2
     ds = ShardDataset(out)
-    counts = [len(list(ds.iter_batches(3, rank=r, world=2)))
+    counts = [len(list(ds.iter_batches(3, drop_last=True, rank=r,
+                                       world=2)))
               for r in range(2)]
     # rank0: shards 0,2 (6 imgs = 2 batches); rank1: shard 1 (1 batch)
     assert counts == [1, 1], counts
     for r in range(2):
-        ld = shard_loader(out, 3, rank=r, world=2)
+        ld = shard_loader(out, 3, drop_last=True, rank=r, world=2)
         assert len(ld) == 1

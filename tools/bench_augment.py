@@ -1,0 +1,93 @@
+"""Train-step rate: full on-device recipe (RandomResizedCrop+flip+jitter
+from 256^2 shards) vs the flip-only approximation (224^2 shards).
+
+VERDICT r2 #4 'done' bar: full recipe within ~15% of the flip-only rate.
+Appends to results/train_bench.json under "augment".
+
+  nohup env PYTHONPATH=/root/repo:/root/.axon_site \
+      python -u tools/bench_augment.py > /tmp/bench_aug.log 2>&1 &
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B = 256
+ITERS = 8
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                   "results", "train_bench.json")
+
+
+def rate(step, ts, images, labels):
+    def run():
+        t = ts
+        key = jax.random.PRNGKey(0)
+        for i in range(ITERS):
+            key, sub = jax.random.split(key)
+            t2, metrics = step(t, images, labels, sub)
+            t = t2
+        return float(metrics["loss"]), t
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    loss, t = run()
+    jax.block_until_ready(t.params)
+    dt = time.perf_counter() - t0
+    return B * ITERS / dt
+
+
+def main():
+    from scale_imagenet_tpu.data.transforms import IMAGENET_MEAN, \
+        IMAGENET_STD
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.train import TrainState, make_optimizer, \
+        make_train_step
+
+    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
+                      layers=1)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(0.1, weight_decay=1e-4, milestones=(30,),
+                           steps_per_epoch=100)
+    ts = TrainState(jax.device_put(params), jax.device_put(state),
+                    tx.init(params), jnp.zeros((), jnp.int32))
+    labels = jax.device_put(
+        np.random.default_rng(0).integers(0, 1000, B).astype(np.int32))
+    norm = (IMAGENET_MEAN, IMAGENET_STD)
+
+    res = {}
+    for amp in (False, True):
+        x224 = jax.device_put(np.random.default_rng(1).integers(
+            0, 255, (B, 224, 224, 3), dtype=np.uint8))
+        step = make_train_step(model, tx, amp=amp, normalize=norm,
+                               augment=True)
+        r_flip = rate(step, ts, x224, labels)
+        print(f"amp={amp} flip-only 224: {r_flip:8.0f} img/s", flush=True)
+
+        x256 = jax.device_put(np.random.default_rng(1).integers(
+            0, 255, (B, 256, 256, 3), dtype=np.uint8))
+        step = make_train_step(model, tx, amp=amp, normalize=norm,
+                               augment="full")
+        r_full = rate(step, ts, x256, labels)
+        print(f"amp={amp} full recipe 256->224: {r_full:8.0f} img/s "
+              f"({r_full/r_flip:.2f}x of flip-only)", flush=True)
+        res[f"{'amp' if amp else 'f32'}"] = {
+            "flip_only_ips": round(r_flip, 1),
+            "full_recipe_ips": round(r_full, 1),
+            "ratio": round(r_full / r_flip, 3)}
+
+    data = {}
+    if os.path.exists(os.path.abspath(OUT)):
+        with open(os.path.abspath(OUT)) as f:
+            data = json.load(f)
+    data["augment"] = res
+    with open(os.path.abspath(OUT), "w") as f:
+        json.dump(data, f, indent=1)
+    print("wrote", os.path.abspath(OUT))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Experiment: idx-conv NCHW-output fusion + coarse transposes for the
+LUT serving path, vs the current NHWC adapter.  TPU-only, writes nothing;
+numbers land in results/PERF.md by hand."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from scale_imagenet_tpu.models import get_model
+from scale_imagenet_tpu.compile import compile_ttnet_lut, lut_ttnet_apply
+from scale_imagenet_tpu.compile.lut_eval import (
+    _use_pallas, constant_pad2d)
+from scale_imagenet_tpu.pallas.lut_gather import lut_gather
+
+ITERS = 10
+
+
+def in_graph_ms(fn, *args):
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            a2 = list(a)
+            a2[-1] = a2[-1] + (acc * 0.0).astype(a2[-1].dtype)
+            out = fn(*a2)
+            return acc + out.reshape(-1)[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+    args = jax.device_put(args)
+    float(loop(*args))
+    t0 = time.perf_counter()
+    float(loop(*args))
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+def block_apply_nhwc(lut, x_bits):
+    """Current path (lut_block_tt_apply pallas branch, NHWC adapter)."""
+    cfg = lut.cfg
+    if cfg.padding != 0:
+        x_bits = constant_pad2d(x_bits, cfg.padding)
+    idx = jax.lax.conv_general_dilated(
+        x_bits, lut.index_w.astype(x_bits.dtype),
+        window_strides=(cfg.stride, cfg.stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=cfg.groupsici,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    b, h, w, g = idx.shape
+    f = lut.packed.shape[1]
+    e = b * h * w
+    rows = -(-e // 128)
+    tile_rows = min(512, -(-rows // 8) * 8)
+    idx_ge = idx.reshape(-1, g).T
+    out = lut_gather(lut.packed, idx_ge, tile_rows=tile_rows,
+                     out_dtype=x_bits.dtype)
+    return jnp.transpose(out.reshape(g * f, -1)).reshape(b, h, w, g * f)
+
+
+def block_apply_nchw(lut, x_bits):
+    """Candidate: conv emits NCHW (transpose fused into the conv), gather
+    input/output relayouts are coarse (HW-chunk) copies."""
+    cfg = lut.cfg
+    if cfg.padding != 0:
+        x_bits = constant_pad2d(x_bits, cfg.padding)
+    idx = jax.lax.conv_general_dilated(
+        x_bits, lut.index_w.astype(x_bits.dtype),
+        window_strides=(cfg.stride, cfg.stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        feature_group_count=cfg.groupsici,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    b, g, h, w = idx.shape
+    f = lut.packed.shape[1]
+    e = b * h * w
+    rows = -(-e // 128)
+    tile_rows = min(512, -(-rows // 8) * 8)
+    idx_ge = idx.reshape(b, g, h * w).swapaxes(0, 1).reshape(g, e)
+    out = lut_gather(lut.packed, idx_ge, tile_rows=tile_rows,
+                     out_dtype=x_bits.dtype)        # (G, F, E) b-major
+    out = out.reshape(g * f, b, h * w).transpose(1, 2, 0)
+    return out.reshape(b, h, w, g * f)
+
+
+def main():
+    import os
+
+    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
+                      layers=1)
+    params, state = model.init(jax.random.PRNGKey(0))
+    cache = "/tmp/luts_flagship.npz"
+    if os.path.exists(cache):
+        from scale_imagenet_tpu.compile import load_luts
+        print("loading cached LUTs...", flush=True)
+        luts = load_luts(cache, model.config)
+    else:
+        from scale_imagenet_tpu.compile import save_luts
+        print("compiling LUTs...", flush=True)
+        luts = compile_ttnet_lut(params, state, model.config)
+        save_luts(cache, luts)
+    luts = jax.device_put(luts)
+
+    B = 256
+    key = jax.random.PRNGKey(1)
+    # block0 input: 56x56x64 bits
+    bits = (jax.random.uniform(key, (B, 56, 56, 64)) < 0.5)
+
+    for name, fn in (("nhwc", block_apply_nhwc), ("nchw", block_apply_nchw)):
+        for dt in (jnp.float32, jnp.bfloat16):
+            xb = bits.astype(dt)
+            for head, lbl in ((luts[0].heads[1], "head1 k4 G64"),
+                              (luts[0].heads[3], "head3 k1 G4"),
+                              (luts[0].convf, None)):
+                if lbl is None:
+                    continue
+                ms = in_graph_ms(lambda l, x: fn(l, x), head, xb)
+                print(f"{name} {dt.__name__:8s} {lbl}: {ms:7.2f} ms",
+                      flush=True)
+
+    # full model: current apply for reference
+    x = jax.random.uniform(key, (B, 224, 224, 3), jnp.float32)
+
+    def full(p, s, xx):
+        return lut_ttnet_apply(luts, p, s, model.config, xx)
+    ms = in_graph_ms(full, params, state, x)
+    print(f"full model b256 current: {ms:7.2f} ms = {B/ms*1e3:.0f} img/s",
+          flush=True)
+    # B=1 latency: bf16 vs f32 bits
+    x1 = x[:1]
+
+    def full_f32(p, s, xx):
+        return lut_ttnet_apply(luts, p, s, model.config, xx,
+                               bits_dtype=jnp.float32)
+    for nm, fnn in (("bf16", full), ("f32", full_f32)):
+        ms = in_graph_ms(fnn, params, state, x1)
+        print(f"full model b1 {nm}: {ms:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
