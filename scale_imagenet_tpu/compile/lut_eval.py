@@ -216,25 +216,16 @@ def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
     ]
 
 
-def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
-                    pallas: bool | None = None, interpret: bool = False,
-                    last_via_conv: bool = True, bits_dtype=None):
-    """Full LUT-mode forward of a ttnet_imagenet model: float stem and
-    classifier, table-lookup blocks.  ``last_via_conv`` serves the final
-    (ReLU, float-valued) fuse head as the float conv instead of a float
-    table walk — identical function, conv-speed (see lut_multihead_apply);
-    set False for the table-exact export semantics.
-
-    ``bits_dtype``: dtype of the {0,1} activations flowing between LUT
-    blocks — bf16 on TPU by default, which halves the HBM traffic of the
-    layout transposes/pads/pools around the gather kernels while staying
-    BIT-EXACT (bits, quarter-valued pool means, and the f32-accumulated
-    indices are all exactly representable; every float op — stem,
-    last-block conv, classifier — still runs f32)."""
+def lut_ttnet_features(luts: list[MultiHeadLUT], params, state, cfg, x, *,
+                       pallas: bool | None = None, interpret: bool = False,
+                       last_via_conv: bool = True, bits_dtype=None):
+    """Everything before the classifier in LUT mode (float stem,
+    table-lookup blocks, trailing pool+flatten) — the LUT twin of
+    ``ttnet_imagenet_features``; shared by single-device serving and the
+    channel-group TP path (parallel/tp.py)."""
     from ..layers.conv import conv2d
     from ..layers.norm import batch_norm
     from ..layers.pool import avg_pool as _ap, flatten
-    from ..models.classifier import classifier_scale
     from ..ops.binarize import binarize01_act
     from ..pallas.stem import space_to_depth_stem
 
@@ -256,8 +247,29 @@ def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
         h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret,
                                 convf_float=cf)
     h = _ap(h, 2)
-    h = flatten(h)
+    return flatten(h).astype(jnp.float32)
+
+
+def lut_ttnet_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
+                    pallas: bool | None = None, interpret: bool = False,
+                    last_via_conv: bool = True, bits_dtype=None):
+    """Full LUT-mode forward of a ttnet_imagenet model: float stem and
+    classifier, table-lookup blocks.  ``last_via_conv`` serves the final
+    (ReLU, float-valued) fuse head as the float conv instead of a float
+    table walk — identical function, conv-speed (see lut_multihead_apply);
+    set False for the table-exact export semantics.
+
+    ``bits_dtype``: dtype of the {0,1} activations flowing between LUT
+    blocks — bf16 on TPU by default, which halves the HBM traffic of the
+    layout transposes/pads/pools around the gather kernels while staying
+    BIT-EXACT (bits, quarter-valued pool means, and the f32-accumulated
+    indices are all exactly representable; every float op — stem,
+    last-block conv, classifier — still runs f32)."""
+    from ..models.classifier import classifier_scale
+
+    h = lut_ttnet_features(luts, params, state, cfg, x, pallas=pallas,
+                           interpret=interpret, last_via_conv=last_via_conv,
+                           bits_dtype=bits_dtype)
     logits, _ = classifier_scale(params["classifier"],
-                                 state["classifier"],
-                                 h.astype(jnp.float32), False)
+                                 state["classifier"], h, False)
     return logits

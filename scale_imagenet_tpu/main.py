@@ -292,11 +292,7 @@ def main(argv=None):
 
             params = cast_floating(params)
             state = cast_floating(state)
-        if cfg.lut:
-            if cfg.tp:
-                raise ValueError("--tp runs the conv-mode forward; "
-                                 "combine it with --lut once the TP LUT "
-                                 "path exists (serve --lut without --tp)")
+        if cfg.lut and not cfg.tp:
             model = _as_lut_model(model, params, state, cfg.lut_path)
             params = model.wrap_params(params)
 
@@ -332,11 +328,39 @@ def main(argv=None):
 
         # step flavor
         if cfg.tp:
-            from .parallel.tp import make_tp_eval_step, shard_params_tp
+            from .parallel.tp import make_tp_eval_step, \
+                make_tp_lut_eval_step, shard_luts_tp, shard_params_tp
 
-            params = shard_params_tp(params, mesh)
-            state = shard_params_tp(state, mesh)
-            eval_step = make_tp_eval_step(model, mesh, normalize=normalize)
+            if cfg.lut:
+                # compiled-network serving over the mesh: each device
+                # gathers its channel slice's truth tables (same
+                # communication structure as conv TP)
+                import os as _os
+
+                from .compile import compile_ttnet_lut, load_luts, \
+                    save_luts
+
+                lp = cfg.lut_path
+                if lp and not lp.endswith(".npz"):
+                    lp += ".npz"
+                if lp and _os.path.exists(lp):
+                    print(f"loading LUTs from {lp}")
+                    luts = load_luts(lp, model.config)
+                else:
+                    print("compiling truth tables (2^n per head)...")
+                    luts = compile_ttnet_lut(params, state, model.config)
+                    if lp:
+                        save_luts(lp, luts)
+                params = {"model": shard_params_tp(params, mesh),
+                          "luts": shard_luts_tp(luts, mesh)}
+                state = shard_params_tp(state, mesh)
+                eval_step = make_tp_lut_eval_step(model, mesh,
+                                                  normalize=normalize)
+            else:
+                params = shard_params_tp(params, mesh)
+                state = shard_params_tp(state, mesh)
+                eval_step = make_tp_eval_step(model, mesh,
+                                              normalize=normalize)
         else:
             # key: required by stochastic-eval models (T_test != 0, e.g.
             # tt_certif); T=0 models never consume it.  A fresh subkey is

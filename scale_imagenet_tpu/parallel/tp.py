@@ -151,6 +151,109 @@ def make_tp_eval_step(model, mesh: Mesh, normalize=None):
     return eval_step
 
 
+def lut_tp_specs(luts):
+    """PartitionSpecs for a compiled-LUT pytree (list of MultiHeadLUT):
+    every leaf shards on its channel-group axis — table ``(out, 2^n)``
+    and packed ``(G, F, S, 128)`` on axis 0, index weights
+    ``(kh, kw, ci, G)`` on the output-group axis — so each device holds
+    exactly its channel slice's tables (the same slice its conv-TP
+    params would produce)."""
+    def spec(path, leaf):
+        # BlockLUT flatten order: 0=table, 1=index_w, 2=packed
+        slot = path[-1].key
+        if slot == 1:
+            return P(None, None, None, "model")
+        return P("model")
+
+    return jax.tree_util.tree_map_with_path(spec, luts)
+
+
+def shard_luts_tp(luts, mesh: Mesh):
+    specs = lut_tp_specs(luts)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        luts, specs)
+
+
+def _local_luts(luts, lcfg):
+    """Rebuild the LUT pytree with the LOCAL (per-shard) static configs:
+    inside shard_map the leaves are already the local channel slices, but
+    the static cfg aux data still describes the global widths."""
+    from ..compile.lut_eval import BlockLUT, MultiHeadLUT
+
+    out = []
+    for lut, bcfg in zip(luts, lcfg.block_configs()):
+        heads = {i: BlockLUT(hcfg, lut.heads[i].table,
+                             lut.heads[i].index_w, lut.heads[i].packed)
+                 for i, hcfg in bcfg.head_cfgs().items()}
+        convf = None
+        if lut.convf is not None:
+            convf = BlockLUT(bcfg.convf_cfg(), lut.convf.table,
+                             lut.convf.index_w, lut.convf.packed)
+        out.append(MultiHeadLUT(bcfg, heads, convf))
+    return out
+
+
+def make_tp_lut_eval_step(model, mesh: Mesh, normalize=None):
+    """Channel-group tensor-parallel COMPILED-LUT serving (shard_map):
+    each device gathers its channel slice's truth tables; the only model
+    collective is the classifier's row-parallel psum — identical
+    communication structure to conv TP, so compiled-network serving
+    scales over the mesh exactly like the float model.
+
+    ``params`` must be ``{"model": shard_params_tp(...), "luts":
+    shard_luts_tp(...)}``."""
+    from ..compile.lut_eval import lut_ttnet_features
+    from ..train.steps import make_input_pipeline
+
+    lcfg = local_config(model.config, mesh.shape["model"])
+    prepare = make_input_pipeline(normalize)
+
+    def step(params, state, images, labels):
+        images, _ = prepare(images)
+        luts_local = _local_luts(params["luts"], lcfg)
+        feats = lut_ttnet_features(luts_local, params["model"], state,
+                                   lcfg, images.astype(jnp.float32))
+        partial_y = feats @ params["model"]["classifier"]["lin1"]["weight"]
+        y = jax.lax.psum(partial_y, "model")
+        from ..layers.norm import batch_norm
+        from ..ops.poly import polynome_act
+
+        y, _ = batch_norm(params["model"]["classifier"]["bn"],
+                          state["classifier"]["bn"], y, False)
+        y = polynome_act(y)
+        logits = y @ params["model"]["classifier"]["lin2"]["weight"] \
+            + params["model"]["classifier"]["lin2"]["bias"]
+        nll_sum, (c1, c5), n_local = masked_metric_sums(logits, labels)
+        n = jax.lax.psum(n_local, "data")
+        denom = jnp.maximum(n, 1.0)
+        return {
+            "loss": jax.lax.psum(nll_sum, "data") / denom,
+            "top1": 100.0 * jax.lax.psum(c1, "data") / denom,
+            "top5": 100.0 * jax.lax.psum(c5, "data") / denom,
+            "n": n,
+        }
+
+    jitted = None
+
+    def eval_step(params, state, images, labels):
+        nonlocal jitted
+        if jitted is None:
+            pspecs = {"model": tp_param_specs(params["model"]),
+                      "luts": lut_tp_specs(params["luts"])}
+            mapped = jax.shard_map(
+                step, mesh=mesh,
+                in_specs=(pspecs, tp_param_specs(state),
+                          P("data", None, None, None), P("data")),
+                out_specs=P(),
+            )
+            jitted = jax.jit(mapped)
+            eval_step._jitted = jitted
+        return jitted(params, state, images, labels)
+
+    return eval_step
+
+
 def make_tp_train_step(model, tx, mesh: Mesh):
     """Channel-group tensor-parallel TRAINING step (shard_map).
 

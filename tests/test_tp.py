@@ -93,6 +93,42 @@ def test_tp_steps_do_not_retrace(model_and_data):
         assert tstep._jitted._cache_size() == 1  # no retrace
 
 
+def test_tp_lut_matches_single_device(model_and_data):
+    """Channel-group TP over the COMPILED network: each device gathers
+    its channel slice's truth tables; metrics must equal the
+    single-device LUT forward (which itself is bit-faithful to conv)."""
+    from scale_imagenet_tpu.compile import compile_ttnet_lut, \
+        lut_ttnet_apply
+    from scale_imagenet_tpu.parallel.tp import (
+        make_tp_lut_eval_step, shard_luts_tp)
+    from scale_imagenet_tpu.train.losses import masked_metric_sums
+
+    model, params, state, images, labels = model_and_data
+    luts = compile_ttnet_lut(params, state, model.config)
+
+    logits = lut_ttnet_apply(luts, params, state, model.config, images)
+    nll, (c1, c5), n = masked_metric_sums(logits, labels)
+    ref = {"loss": float(nll / n), "top1": float(100 * c1 / n),
+           "top5": float(100 * c5 / n)}
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sp = {"model": shard_params_tp(params, mesh),
+              "luts": shard_luts_tp(luts, mesh)}
+        ss = shard_params_tp(state, mesh)
+        imgs = jax.device_put(images, NamedSharding(
+            mesh, P("data", None, None, None)))
+        lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        step = make_tp_lut_eval_step(model, mesh)
+        tp = step(sp, ss, imgs, lbls)
+        step(sp, ss, imgs, lbls)
+        assert step._jitted._cache_size() == 1   # no retrace
+
+    for k in ("loss", "top1", "top5"):
+        np.testing.assert_allclose(float(tp[k]), ref[k],
+                                   rtol=1e-4, atol=1e-4), k
+
+
 def test_local_config_rejects_misaligned():
     model = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4,
                       layers=0)  # p=16: /2 -> 8 < 16-channel groups

@@ -23,20 +23,21 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
 
 
 def rate(step, ts, images, labels):
-    def run():
-        t = ts
-        key = jax.random.PRNGKey(0)
-        for i in range(ITERS):
-            key, sub = jax.random.split(key)
-            t2, metrics = step(t, images, labels, sub)
-            t = t2
-        return float(metrics["loss"]), t
+    # the train step DONATES TrainState — thread the returned state, never
+    # reuse a consumed one
+    keys = list(jax.random.split(jax.random.PRNGKey(0), 2 * ITERS))
 
-    run()  # compile + warm
+    def run(t):
+        for i in range(ITERS):
+            t, metrics = step(t, images, labels, keys.pop())
+        return t, metrics
+
+    ts, _ = run(ts)  # compile + warm
     t0 = time.perf_counter()
-    loss, t = run()
-    jax.block_until_ready(t.params)
+    ts, metrics = run(ts)
+    jax.block_until_ready(ts.params)
     dt = time.perf_counter() - t0
+    del ts, metrics
     return B * ITERS / dt
 
 
@@ -50,10 +51,19 @@ def main():
     model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
                       layers=1)
     params, state = model.init(jax.random.PRNGKey(0))
+    # host copies: device_put of an already-on-device array aliases it,
+    # and donation would delete the "master"
+    params = jax.tree.map(np.asarray, params)
+    state = jax.tree.map(np.asarray, state)
     tx, _ = make_optimizer(0.1, weight_decay=1e-4, milestones=(30,),
                            steps_per_epoch=100)
-    ts = TrainState(jax.device_put(params), jax.device_put(state),
-                    tx.init(params), jnp.zeros((), jnp.int32))
+
+    def fresh_ts():
+        # each combo consumes (donates) its TrainState — rebuild from the
+        # host copies
+        return TrainState(jax.device_put(params), jax.device_put(state),
+                          tx.init(params), jnp.zeros((), jnp.int32))
+
     labels = jax.device_put(
         np.random.default_rng(0).integers(0, 1000, B).astype(np.int32))
     norm = (IMAGENET_MEAN, IMAGENET_STD)
@@ -64,14 +74,14 @@ def main():
             0, 255, (B, 224, 224, 3), dtype=np.uint8))
         step = make_train_step(model, tx, amp=amp, normalize=norm,
                                augment=True)
-        r_flip = rate(step, ts, x224, labels)
+        r_flip = rate(step, fresh_ts(), x224, labels)
         print(f"amp={amp} flip-only 224: {r_flip:8.0f} img/s", flush=True)
 
         x256 = jax.device_put(np.random.default_rng(1).integers(
             0, 255, (B, 256, 256, 3), dtype=np.uint8))
         step = make_train_step(model, tx, amp=amp, normalize=norm,
                                augment="full")
-        r_full = rate(step, ts, x256, labels)
+        r_full = rate(step, fresh_ts(), x256, labels)
         print(f"amp={amp} full recipe 256->224: {r_full:8.0f} img/s "
               f"({r_full/r_flip:.2f}x of flip-only)", flush=True)
         res[f"{'amp' if amp else 'f32'}"] = {
