@@ -84,8 +84,20 @@ def main():
 
     # the full serving story (best-effort — the headline metric above is
     # already secured): B=1 latency where the compiled-LUT network wins,
-    # bf16 serving, and compiled-LUT throughput
+    # bf16 serving, and compiled-LUT throughput.  A SIGALRM watchdog
+    # bounds the extras — a wedged remote compile must not swallow the
+    # headline line (progress goes to stderr; stdout is the one JSON line)
+    import signal
+    import sys
+
+    def _bail(signum, frame):
+        raise TimeoutError("extras watchdog")
+
     try:
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(900)
+        print("headline done; measuring extras...", file=sys.stderr,
+              flush=True)
         x1 = x[:1]
         result["conv_b1_ms"] = round(1e3 / _ips(conv_apply, params, state,
                                                 x1, iters=40), 3)
@@ -106,8 +118,10 @@ def main():
         result["lut_b256_ips"] = round(_ips(lut_apply, params, state, x), 1)
         result["lut_b1_ms"] = round(1e3 / _ips(lut_apply, params, state,
                                                x1, iters=40), 3)
-    except Exception as e:  # noqa: BLE001 — extras must never kill the line
+    except BaseException as e:  # noqa: BLE001 — extras never kill the line
         result["extras_error"] = f"{type(e).__name__}: {e}"[:120]
+    finally:
+        signal.alarm(0)
 
     print(json.dumps(result))
 

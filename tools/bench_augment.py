@@ -16,7 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-B = 256
+B = 128   # B=256's train-step compile has wedged the axon remote
+          # compiler; 128 measures the same ratio
 ITERS = 8
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
                    "results", "train_bench.json")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -96,6 +97,17 @@ def main():
     res["lut_pallas_b1"] = {"ms_per_batch": ms, "img_per_sec": 1 / ms * 1e3}
     print(f"lut pallas B=  1: {ms:8.2f} ms (latency; conv B=1 above)",
           flush=True)
+
+    if "--sweep" in sys.argv:
+        res["crossover"] = {}
+        for Bs in (4, 16, 64):
+            xs = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (Bs, 224, 224, 3), jnp.float32)
+            mc = in_graph_ms(conv_apply, params, state, xs)
+            ml = in_graph_ms(lut_apply, params, state, xs)
+            res["crossover"][f"b{Bs}"] = {"conv_ms": mc, "lut_ms": ml}
+            print(f"sweep B={Bs:3d}: conv {mc:7.2f} ms  lut {ml:7.2f} ms",
+                  flush=True)
 
     with open(os.path.abspath(OUT), "w") as fh:
         json.dump(res, fh, indent=1)
