@@ -194,11 +194,16 @@ def main(argv=None):
     cfg = parse_args(argv)
 
     # platform forcing + distributed rendezvous must happen BEFORE any
-    # backend use (the first PRNGKey/device query pins the backend)
-    if cfg.platform:
-        jax.config.update("jax_platforms", cfg.platform)
-    if cfg.cpu_devices:
-        jax.config.update("jax_num_cpu_devices", cfg.cpu_devices)
+    # backend use (the first PRNGKey/device query pins the backend); if a
+    # host process (tests) already initialized the backend, the updates
+    # raise — fall through to whatever devices exist
+    try:
+        if cfg.platform:
+            jax.config.update("jax_platforms", cfg.platform)
+        if cfg.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", cfg.cpu_devices)
+    except RuntimeError as e:
+        print(f"platform flags ignored (backend already live): {e}")
     multiproc = (cfg.num_processes or 0) > 1 or cfg.coordinator_address
     if multiproc:
         from .parallel.multihost import initialize

@@ -86,6 +86,24 @@ def test_cli_lut_serving(fake_imagenet, tmp_path):
     assert lut1 == conv  # bit-faithful blocks -> identical argmax/top5
 
 
+def test_cli_tp_lut_serving(fake_imagenet, tmp_path):
+    """--tp --lut: compiled-network serving over the ('data','model')
+    mesh — truth tables sharded by channel group; metrics equal the
+    single-device LUT run."""
+    args = [
+        "--mode", "eval", "--data_dir", fake_imagenet,
+        "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "8", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--root_dir", str(tmp_path), "--log_interval", "1",
+    ]
+    ref = main(args + ["--lut", "--mesh_data", "1"])
+    tp = main(args + ["--lut", "--tp", "--mesh_data", "2",
+                      "--mesh_model", "2"])
+    assert tp[0] == pytest.approx(ref[0], abs=1e-3)
+    assert tp[1] == pytest.approx(ref[1], abs=1e-3)
+
+
 def test_cli_shard_training(fake_imagenet, tmp_path):
     """--mode train --shards_dir: shard-fed training with on-device
     normalize + flip; one epoch end-to-end through the CLI."""

@@ -97,6 +97,45 @@ def test_multiproc_eval_matches_single_process(fake_imagenet, tmp_path):
     assert "final:" not in outs[1]
 
 
+def test_multiproc_shard_eval(fake_imagenet, tmp_path):
+    """2-process eval from pre-decoded shards: the fixture fits ONE
+    shard, so rank 1 owns no data and must emit all-pad lockstep filler
+    batches — metrics still equal the single-process run exactly (every
+    image scored once, nothing double-counted)."""
+    from scale_imagenet_tpu.main import main
+
+    shards = str(tmp_path / "valshards")
+    main(["--write_shards", shards, "--shards_split", "val",
+          "--data_dir", fake_imagenet, "--num_workers", "2"])
+
+    common = [
+        "--mode", "eval", "--shards_dir", shards,
+        "--data_dir", fake_imagenet,
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--log_interval", "1",
+    ]
+    top1, top5 = main(common + ["--mesh_data", "1",
+                                "--root_dir", str(tmp_path / "sp")])
+
+    port = _free_port()
+
+    def args_for(i):
+        return common + [
+            "--platform", "cpu", "--cpu_devices", "2",
+            "--coordinator_address", f"localhost:{port}",
+            "--num_processes", "2", "--process_id", str(i),
+            "--mesh_data", "4",
+            "--root_dir", str(tmp_path / f"mp{i}"),
+        ]
+
+    outs = _launch(args_for)
+    m = re.search(r"final: top1 ([\d.]+)% top5 ([\d.]+)%", outs[0])
+    assert m, f"no final line:\n{outs[0]}"
+    assert float(m.group(1)) == pytest.approx(top1, abs=1e-3)
+    assert float(m.group(2)) == pytest.approx(top5, abs=1e-3)
+
+
 def test_multiproc_train_step(fake_imagenet, tmp_path):
     from scale_imagenet_tpu.main import main
     import io
