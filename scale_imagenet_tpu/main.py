@@ -143,15 +143,15 @@ def load_params(cfg, model):
     return payload["params"], payload["state"]
 
 
-def _as_lut_model(model, params, state, lut_path=None):
-    """Wrap a ttnet_imagenet model as its compiled-LUT serving twin:
-    ``apply`` runs truth-table blocks (Pallas gather on TPU) instead of
-    conv math.  Tables load from ``lut_path`` when present, else compile
-    here (2^n enumeration per head) and save to ``lut_path`` if given."""
+def _load_or_compile_luts(model, params, state, lut_path=None,
+                          save_ok=True):
+    """LUT tables for a ttnet_imagenet model: load from ``lut_path`` when
+    present, else compile (2^n enumeration per head) and save there if
+    given.  ``save_ok=False`` suppresses the write (non-coordinator ranks
+    — concurrent writers to a shared path would race)."""
     import os as _os
 
-    from .compile import compile_ttnet_lut, load_luts, lut_ttnet_apply, \
-        save_luts
+    from .compile import compile_ttnet_lut, load_luts, save_luts
     from .models.ttnet_imagenet import TTnetImageNetConfig
 
     if not isinstance(model.config, TTnetImageNetConfig):
@@ -161,13 +161,22 @@ def _as_lut_model(model, params, state, lut_path=None):
         lut_path += ".npz"   # np.savez appends it; keep load/save agreed
     if lut_path and _os.path.exists(lut_path):
         print(f"loading LUTs from {lut_path}")
-        luts = load_luts(lut_path, model.config)
-    else:
-        print("compiling truth tables (2^n patterns per head)...")
-        luts = compile_ttnet_lut(params, state, model.config)
-        if lut_path:
-            save_luts(lut_path, luts)
-            print(f"saved LUTs -> {lut_path}")
+        return load_luts(lut_path, model.config)
+    print("compiling truth tables (2^n patterns per head)...")
+    luts = compile_ttnet_lut(params, state, model.config)
+    if lut_path and save_ok:
+        save_luts(lut_path, luts)
+        print(f"saved LUTs -> {lut_path}")
+    return luts
+
+
+def _as_lut_model(model, params, state, lut_path=None):
+    """Wrap a ttnet_imagenet model as its compiled-LUT serving twin:
+    ``apply`` runs truth-table blocks (Pallas gather on TPU) instead of
+    conv math."""
+    from .compile import lut_ttnet_apply
+
+    luts = _load_or_compile_luts(model, params, state, lut_path)
 
     # The tables ride INSIDE the params pytree so they enter every jitted
     # step as runtime arguments — closing over them would bake gigabytes
@@ -339,23 +348,11 @@ def main(argv=None):
             if cfg.lut:
                 # compiled-network serving over the mesh: each device
                 # gathers its channel slice's truth tables (same
-                # communication structure as conv TP)
-                import os as _os
-
-                from .compile import compile_ttnet_lut, load_luts, \
-                    save_luts
-
-                lp = cfg.lut_path
-                if lp and not lp.endswith(".npz"):
-                    lp += ".npz"
-                if lp and _os.path.exists(lp):
-                    print(f"loading LUTs from {lp}")
-                    luts = load_luts(lp, model.config)
-                else:
-                    print("compiling truth tables (2^n per head)...")
-                    luts = compile_ttnet_lut(params, state, model.config)
-                    if lp:
-                        save_luts(lp, luts)
+                # communication structure as conv TP); only the
+                # coordinator writes the archive
+                luts = _load_or_compile_luts(model, params, state,
+                                             cfg.lut_path,
+                                             save_ok=is_coord)
                 params = {"model": shard_params_tp(params, mesh),
                           "luts": shard_luts_tp(luts, mesh)}
                 state = shard_params_tp(state, mesh)

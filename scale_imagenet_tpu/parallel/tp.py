@@ -84,11 +84,9 @@ def shard_params_tp(params, mesh: Mesh):
         params, specs)
 
 
-def _forward_local(params, state, lcfg, x, training, key):
-    """Per-shard forward: local feature stack + row-parallel classifier."""
-    feats, new_state = ttnet_imagenet_features(params, state, lcfg, x,
-                                               training=training, key=key)
-    # classifier: local partial matmul -> the one model collective
+def _tp_classifier(params, state, feats, training):
+    """Row-parallel classifier: local partial matmul -> the one model
+    collective -> replicated head.  Returns (logits, bn_state)."""
     partial_y = feats @ params["classifier"]["lin1"]["weight"]
     y = jax.lax.psum(partial_y, "model")
     from ..layers.norm import batch_norm
@@ -99,6 +97,27 @@ def _forward_local(params, state, lcfg, x, training, key):
     y = polynome_act(y)
     logits = y @ params["classifier"]["lin2"]["weight"] \
         + params["classifier"]["lin2"]["bias"]
+    return logits, bn_s
+
+
+def _tp_masked_metrics(logits, labels):
+    """Masked metric sums psum'd over 'data' (labels < 0 = pad rows)."""
+    nll_sum, (c1, c5), n_local = masked_metric_sums(logits, labels)
+    n = jax.lax.psum(n_local, "data")
+    denom = jnp.maximum(n, 1.0)
+    return {
+        "loss": jax.lax.psum(nll_sum, "data") / denom,
+        "top1": 100.0 * jax.lax.psum(c1, "data") / denom,
+        "top5": 100.0 * jax.lax.psum(c5, "data") / denom,
+        "n": n,
+    }
+
+
+def _forward_local(params, state, lcfg, x, training, key):
+    """Per-shard forward: local feature stack + row-parallel classifier."""
+    feats, new_state = ttnet_imagenet_features(params, state, lcfg, x,
+                                               training=training, key=key)
+    logits, bn_s = _tp_classifier(params, state, feats, training)
     new_state["classifier"] = {"bn": bn_s}
     return logits, new_state
 
@@ -119,15 +138,7 @@ def make_tp_eval_step(model, mesh: Mesh, normalize=None):
         # logits replicated over 'model'; labels < 0 mark pad rows of the
         # padded final batch — sum the masked per-shard sums over 'data'
         # and divide once, so short-tail shards weight correctly
-        nll_sum, (c1, c5), n_local = masked_metric_sums(logits, labels)
-        n = jax.lax.psum(n_local, "data")
-        denom = jnp.maximum(n, 1.0)
-        return {
-            "loss": jax.lax.psum(nll_sum, "data") / denom,
-            "top1": 100.0 * jax.lax.psum(c1, "data") / denom,
-            "top5": 100.0 * jax.lax.psum(c5, "data") / denom,
-            "n": n,
-        }
+        return _tp_masked_metrics(logits, labels)
 
     # specs depend on the param tree structure, so the shard_map+jit is
     # built once on first call and cached — rebuilding it per call would
@@ -214,25 +225,9 @@ def make_tp_lut_eval_step(model, mesh: Mesh, normalize=None):
         luts_local = _local_luts(params["luts"], lcfg)
         feats = lut_ttnet_features(luts_local, params["model"], state,
                                    lcfg, images.astype(jnp.float32))
-        partial_y = feats @ params["model"]["classifier"]["lin1"]["weight"]
-        y = jax.lax.psum(partial_y, "model")
-        from ..layers.norm import batch_norm
-        from ..ops.poly import polynome_act
-
-        y, _ = batch_norm(params["model"]["classifier"]["bn"],
-                          state["classifier"]["bn"], y, False)
-        y = polynome_act(y)
-        logits = y @ params["model"]["classifier"]["lin2"]["weight"] \
-            + params["model"]["classifier"]["lin2"]["bias"]
-        nll_sum, (c1, c5), n_local = masked_metric_sums(logits, labels)
-        n = jax.lax.psum(n_local, "data")
-        denom = jnp.maximum(n, 1.0)
-        return {
-            "loss": jax.lax.psum(nll_sum, "data") / denom,
-            "top1": 100.0 * jax.lax.psum(c1, "data") / denom,
-            "top5": 100.0 * jax.lax.psum(c5, "data") / denom,
-            "n": n,
-        }
+        logits, _ = _tp_classifier(params["model"], state, feats,
+                                   training=False)
+        return _tp_masked_metrics(logits, labels)
 
     jitted = None
 

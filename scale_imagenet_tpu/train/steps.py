@@ -239,7 +239,9 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
     """
     from ..robust.collect import multi_sample_forward
 
-    prepare = make_input_pipeline(normalize, augment)
+    prepare = make_input_pipeline(
+        normalize, augment,
+        image_size=getattr(model.config, "image_size", 224))
     if normalize is not None:
         _m = jnp.asarray(normalize[0], jnp.float32)
         _s = jnp.asarray(normalize[1], jnp.float32)

@@ -36,7 +36,11 @@ def rate(step, ts, images, labels):
     ts, _ = run(ts)  # compile + warm
     t0 = time.perf_counter()
     ts, metrics = run(ts)
-    jax.block_until_ready(ts.params)
+    # end-to-end host reads close the timing region (block_until_ready
+    # returns early over the axon tunnel): the loss chains the last
+    # forward/backward, the param leaf chains the optimizer update
+    float(metrics["loss"])
+    float(jax.tree.leaves(ts.params)[0].reshape(-1)[0])
     dt = time.perf_counter() - t0
     del ts, metrics
     return B * ITERS / dt
