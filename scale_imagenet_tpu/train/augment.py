@@ -80,8 +80,10 @@ def _bilinear_crop_resize(img: jnp.ndarray, top, left, ch, cw,
     x = jnp.clip(left + r * (cw / out_size) - 0.5, left, left + cw - 1)
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    wy = (y - y0)[:, None, None]
-    wx = (x - x0)[None, :, None]
+    # blend weights follow the image dtype (bf16 under --amp); the crop
+    # coordinate math above stays f32
+    wy = (y - y0)[:, None, None].astype(img.dtype)
+    wx = (x - x0)[None, :, None].astype(img.dtype)
     y1 = jnp.minimum(y0 + 1, top + ch - 1).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, left + cw - 1).astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
@@ -135,24 +137,31 @@ def _jitter_coeffs(key: jax.Array, brightness: float, contrast: float,
 def make_rrc_flip_jitter(out_size: int = 224,
                          jitter=(0.5, 0.5, 0.3),
                          scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
-                         normalize=None):
-    """Returns ``augment(images_u8 (B,S,S,C), key) -> (B,out,out,C) f32``
+                         normalize=None, dtype=jnp.float32):
+    """Returns ``augment(images_u8 (B,S,S,C), key) -> (B,out,out,C)``
     applying RandomResizedCrop + HFlip + ColorJitter + Normalize on
-    device — the reference imgnet train recipe."""
+    device — the reference imgnet train recipe.
+
+    ``dtype``: pixel compute/output dtype.  bf16 under --amp halves the
+    augment's HBM traffic; the amp step casts the augmented pixels to
+    bf16 anyway, so running the sampling itself in bf16 only moves that
+    rounding one stage earlier (stochastic augmentation — the crop
+    geometry/jitter coefficients stay f32)."""
     mean = std = None
     if normalize is not None:
-        mean = jnp.asarray(normalize[0], jnp.float32)
-        std = jnp.asarray(normalize[1], jnp.float32)
+        mean = jnp.asarray(normalize[0], dtype)
+        std = jnp.asarray(normalize[1], dtype)
 
     def one(img_u8, key):
         k_crop, k_flip, k_jit = jax.random.split(key, 3)
-        img = img_u8.astype(jnp.float32) / 255.0
+        img = img_u8.astype(dtype) / 255.0
         s_h, s_w = img.shape[0], img.shape[1]
         top, left, ch, cw = sample_crop(k_crop, s_h, s_w, scale, ratio)
         out = _bilinear_crop_resize(img, top, left, ch, cw, out_size)
         out = jnp.where(jax.random.bernoulli(k_flip), out[:, ::-1, :], out)
         a, b, g = _jitter_coeffs(k_jit, *jitter)
-        gray = (out * _GRAY).sum(-1, keepdims=True)
+        a, b, g = (v.astype(dtype) for v in (a, b, g))
+        gray = (out * _GRAY.astype(dtype)).sum(-1, keepdims=True)
         out = a * out + b * gray + g * jnp.mean(gray)
         out = jnp.clip(out, 0.0, 1.0)
         if mean is not None:

@@ -27,7 +27,7 @@ class TrainState(NamedTuple):
 
 
 def make_input_pipeline(normalize=None, augment=False,
-                        image_size: int = 224):
+                        image_size: int = 224, dtype=jnp.float32):
     """The on-device input stage shared by every step factory: optional
     uint8 normalization (the shard pipeline: u8 -> f32/255 -> (x-m)/s,
     exact) and optional augmentation.  Returns ``prepare(images, key) ->
@@ -46,7 +46,7 @@ def make_input_pipeline(normalize=None, augment=False,
         from .augment import make_rrc_flip_jitter
 
         full_aug = make_rrc_flip_jitter(out_size=image_size,
-                                        normalize=normalize)
+                                        normalize=normalize, dtype=dtype)
 
         def prepare(images, key=None):
             key, akey = jax.random.split(key)
@@ -157,8 +157,9 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
     shards — the reference imgnet recipe, train/augment.py).
     """
     image_size = getattr(model.config, "image_size", 224)
-    prepare = make_input_pipeline(normalize, augment,
-                                  image_size=image_size)
+    prepare = make_input_pipeline(
+        normalize, augment, image_size=image_size,
+        dtype=jnp.bfloat16 if amp else jnp.float32)
 
     def loss_fn(params, state, images, labels, key):
         images, key = prepare(images, key)

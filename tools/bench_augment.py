@@ -24,25 +24,27 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
 
 
 def rate(step, ts, images, labels):
-    # the train step DONATES TrainState — thread the returned state, never
-    # reuse a consumed one
-    keys = list(jax.random.split(jax.random.PRNGKey(0), 2 * ITERS))
+    # in-graph scan over ITERS steps: one dispatch per measurement, so
+    # the tunnel's ~37 ms per-dispatch latency and python-loop jitter
+    # cannot dominate (a dispatch-per-step loop measured full-recipe
+    # FASTER than flip-only — pure noise)
+    @jax.jit
+    def multi(ts, images, labels, key):
+        def body(t, k):
+            t2, m = step(t, images, labels, k)
+            return t2, m["loss"]
+        return jax.lax.scan(body, ts, jax.random.split(key, ITERS))
 
-    def run(t):
-        for i in range(ITERS):
-            t, metrics = step(t, images, labels, keys.pop())
-        return t, metrics
-
-    ts, _ = run(ts)  # compile + warm
+    ts, _ = multi(ts, images, labels, jax.random.PRNGKey(0))  # compile
     t0 = time.perf_counter()
-    ts, metrics = run(ts)
+    ts, losses = multi(ts, images, labels, jax.random.PRNGKey(1))
     # end-to-end host reads close the timing region (block_until_ready
     # returns early over the axon tunnel): the loss chains the last
     # forward/backward, the param leaf chains the optimizer update
-    float(metrics["loss"])
+    float(losses[-1])
     float(jax.tree.leaves(ts.params)[0].reshape(-1)[0])
     dt = time.perf_counter() - t0
-    del ts, metrics
+    del ts, losses
     return B * ITERS / dt
 
 
