@@ -142,13 +142,28 @@ def lut_gather(packed: jnp.ndarray, idx: jnp.ndarray, *,
     e = idx.shape[1]
     # ``tile_rows`` is a CAP; the actual tile is (a) bounded so the all-F
     # out block + temporaries fit scoped VMEM (F * R <= 2048 rows — at
-    # F=16 a 488-row tile allocates ~18 MB and Mosaic rejects it), then
-    # (b) balanced so the last tile is nearly full (a flat cap wastes up
-    # to 30% of the row walk as padding at some E)
+    # F=16 a 488-row tile allocates ~18 MB and Mosaic rejects it; a 4096
+    # budget FIT but ran 36% slower at B=256: fewer, fatter grid steps
+    # pipeline worse than 128-row steps), then (b) balanced so the last
+    # tile is nearly full (a flat cap wastes up to 30% of the row walk
+    # as padding at some E)
     cap = max(8, min(tile_rows, (2048 // max(f, 1)) // 8 * 8))
     rows = max(1, -(-e // 128))
-    n_tiles = -(-rows // cap)
-    tile_rows = -(-rows // n_tiles // 8) * 8
+    # pick the tile count with the least padded rows (plain rows/cap can
+    # round into 2-6% dead rows at awkward sizes; a handful of extra
+    # grid steps is cheaper than padded row-walk work)
+    n0 = -(-rows // cap)
+    best = None
+    for n in range(n0, n0 + 9):
+        tile = -(-rows // n // 8) * 8
+        if tile > cap:
+            continue
+        waste = n * tile - rows
+        if best is None or waste < best[1]:
+            best = (n, waste, tile)
+        if waste == 0:
+            break
+    n_tiles, _, tile_rows = best
     per_tile = tile_rows * 128
     pad = n_tiles * per_tile - e
     if pad:

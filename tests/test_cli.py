@@ -207,5 +207,10 @@ def test_cli_flag_guards(fake_imagenet, tmp_path):
             "--root_dir", str(tmp_path), "--mesh_data", "1"]
     with pytest.raises(ValueError, match="bf16"):
         main(base + ["--bf16", "--lut"])
-    with pytest.raises(ValueError, match="tp"):
-        main(base + ["--tp", "--lut"])
+    # --tp --lut is a SUPPORTED combination since r3 (mesh-sharded
+    # compiled-network serving, test_cli_tp_lut_serving); the remaining
+    # guard is the non-ttnet family check
+    with pytest.raises(ValueError, match="ttnet_imagenet"):
+        main(["--mode", "eval", "--data_dir", fake_imagenet,
+              "--model", "TT_FHE_SMALL", "--eval_batch_size", "4",
+              "--root_dir", str(tmp_path), "--mesh_data", "1", "--lut"])
