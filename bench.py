@@ -84,47 +84,94 @@ def main():
 
     # the full serving story (best-effort — the headline metric above is
     # already secured): B=1 latency where the compiled-LUT network wins,
-    # bf16 serving, and compiled-LUT throughput.  A SIGALRM watchdog
-    # bounds the extras — a wedged remote compile must not swallow the
-    # headline line (progress goes to stderr; stdout is the one JSON line)
-    import signal
+    # bf16 serving, and compiled-LUT throughput.  The extras run in a
+    # SUBPROCESS with a hard timeout: a wedged axon remote compile blocks
+    # inside a C call where no SIGALRM can interrupt, and it must not
+    # swallow the headline line (progress goes to stderr; stdout is the
+    # one JSON line)
+    import subprocess
     import sys
 
-    def _bail(signum, frame):
-        raise TimeoutError("extras watchdog")
-
+    print("headline done; measuring extras (subprocess, 900 s cap)...",
+          file=sys.stderr, flush=True)
     try:
-        signal.signal(signal.SIGALRM, _bail)
-        signal.alarm(900)
-        print("headline done; measuring extras...", file=sys.stderr,
-              flush=True)
-        x1 = x[:1]
-        result["conv_b1_ms"] = round(1e3 / _ips(conv_apply, params, state,
-                                                x1, iters=40), 3)
-
-        from scale_imagenet_tpu.utils import cast_floating
-        pb, sb = cast_floating(params), cast_floating(state)
-        result["conv_bf16_b256_ips"] = round(
-            _ips(conv_apply, pb, sb, x.astype(jnp.bfloat16)), 1)
-
-        from scale_imagenet_tpu.compile import compile_ttnet_lut, \
-            lut_ttnet_apply
-
-        luts = jax.device_put(compile_ttnet_lut(params, state, model.config))
-
-        def lut_apply(p, s, xx):
-            return lut_ttnet_apply(luts, p, s, model.config, xx)
-
-        result["lut_b256_ips"] = round(_ips(lut_apply, params, state, x), 1)
-        result["lut_b1_ms"] = round(1e3 / _ips(lut_apply, params, state,
-                                               x1, iters=40), 3)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extras"],
+            capture_output=True, text=True, timeout=900)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+            else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            result.update(json.loads(line))
+        else:
+            result["extras_error"] = (proc.stderr or "no output")[-120:]
     except BaseException as e:  # noqa: BLE001 — extras never kill the line
         result["extras_error"] = f"{type(e).__name__}: {e}"[:120]
-    finally:
-        signal.alarm(0)
+
+    if "extras_error" in result:
+        # fall back to the recorded same-chip measurements so the full
+        # serving story still reaches the driver, clearly marked
+        try:
+            with open(os.path.join(os.path.dirname(__file__), "results",
+                                   "serve_bench.json")) as f:
+                sb = json.load(f)
+            result["lut_b256_ips"] = round(
+                sb["lut_pallas_b256"]["img_per_sec"], 1)
+            result["lut_b1_ms"] = round(
+                sb["lut_pallas_b1"]["ms_per_batch"], 3)
+            result["conv_b1_ms"] = round(
+                sb["conv_f32_b1"]["ms_per_batch"], 3)
+            result["conv_bf16_b256_ips"] = round(
+                sb["conv_bf16_b256"]["img_per_sec"], 1)
+            result["extras_source"] = "results/serve_bench.json (recorded)"
+        except Exception:
+            pass
 
     print(json.dumps(result))
 
 
+def extras():
+    """Extra serving metrics, printed as their own JSON line (invoked as
+    a bench.py --extras subprocess; see main)."""
+    from scale_imagenet_tpu.models import get_model
+
+    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def conv_apply(p, s, xx):
+        return model.apply(p, s, xx, training=False)[0]
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 224, 224, 3),
+                           jnp.float32)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+    x1 = x[:1]
+    out = {}
+    out["conv_b1_ms"] = round(1e3 / _ips(conv_apply, params, state,
+                                         x1, iters=40), 3)
+
+    from scale_imagenet_tpu.utils import cast_floating
+    pb, sb = cast_floating(params), cast_floating(state)
+    out["conv_bf16_b256_ips"] = round(
+        _ips(conv_apply, pb, sb, x.astype(jnp.bfloat16)), 1)
+
+    from scale_imagenet_tpu.compile import compile_ttnet_lut, \
+        lut_ttnet_apply
+
+    luts = jax.device_put(compile_ttnet_lut(params, state, model.config))
+
+    def lut_apply(p, s, xx):
+        return lut_ttnet_apply(luts, p, s, model.config, xx)
+
+    out["lut_b256_ips"] = round(_ips(lut_apply, params, state, x), 1)
+    out["lut_b1_ms"] = round(1e3 / _ips(lut_apply, params, state,
+                                        x1, iters=40), 3)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--extras" in _sys.argv:
+        extras()
+    else:
+        main()

@@ -317,7 +317,12 @@ def shard_train_state_tp(ts, mesh: Mesh):
     """Place every TrainState leaf with the exact shardings the TP train
     step produces, so the FIRST call already has the steady-state jit
     signature (otherwise uncommitted host scalars like ``ts.step`` retrace
-    the step once when the sharded outputs are fed back in)."""
+    the step once when the sharded outputs are fed back in).
+
+    Leaves are COPIED, not aliased: a replicated device_put reuses the
+    source buffer on its home device, and the TP train step DONATES its
+    TrainState — an aliased placement would let that donation delete the
+    caller's original arrays out from under later users."""
     from ..train.steps import TrainState
 
     specs = TrainState(
@@ -327,7 +332,8 @@ def shard_train_state_tp(ts, mesh: Mesh):
         step=P(),
     )
     return jax.tree.map(
-        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        lambda leaf, s: jax.device_put(jnp.array(leaf),
+                                       NamedSharding(mesh, s)),
         ts, specs)
 
 
