@@ -136,6 +136,39 @@ def test_multiproc_shard_eval(fake_imagenet, tmp_path):
     assert float(m.group(2)) == pytest.approx(top5, abs=1e-3)
 
 
+def test_multiproc_tp_eval(fake_imagenet, tmp_path):
+    """2 processes x 2 devices with a 2x2 ('data','model') mesh and
+    channel-group TP: the model axis spans PROCESSES (ICI+DCN on real
+    pods); metrics equal the single-process non-TP run."""
+    from scale_imagenet_tpu.main import main
+
+    common = [
+        "--mode", "eval", "--data_dir", fake_imagenet,
+        "--nfilter", "8", "--tfilter", "4", "--layers", "0",  # p=32
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--log_interval", "1",
+    ]
+    top1, top5 = main(common + ["--mesh_data", "1",
+                                "--root_dir", str(tmp_path / "sp")])
+
+    port = _free_port()
+
+    def args_for(i):
+        return common + [
+            "--platform", "cpu", "--cpu_devices", "2",
+            "--coordinator_address", f"localhost:{port}",
+            "--num_processes", "2", "--process_id", str(i),
+            "--mesh_data", "2", "--mesh_model", "2", "--tp",
+            "--root_dir", str(tmp_path / f"mp{i}"),
+        ]
+
+    outs = _launch(args_for)
+    m = re.search(r"final: top1 ([\d.]+)% top5 ([\d.]+)%", outs[0])
+    assert m, f"no final line:\n{outs[0]}"
+    assert float(m.group(1)) == pytest.approx(top1, abs=1e-3)
+    assert float(m.group(2)) == pytest.approx(top5, abs=1e-3)
+
+
 def test_multiproc_train_step(fake_imagenet, tmp_path):
     from scale_imagenet_tpu.main import main
     import io
