@@ -58,6 +58,16 @@ class PerformanceConfig:
     # and the parity/compile paths keep exact erf.
     fast_gelu: bool = True
 
+    # Merge the config-identical head-1/2 Block_TT chains of a multi-head
+    # block into ONE grouped conv chain at eval time (the same math as a
+    # batched pair of grouped convs — bit-exact on chip, per-group
+    # reduction order unchanged).  MEASURED SLOWER at B=256 on a v5e
+    # (38.6 vs 35.1 ms/batch): the channel-duplicated input concat is a
+    # full extra activation write, which costs more than the halved
+    # dispatch/fusion count saves.  Kept opt-in as the measured record
+    # of the last conv-path merge lever (ROADMAP item 2).
+    merge_heads12: bool = False
+
 
 performance = PerformanceConfig()
 

@@ -278,7 +278,37 @@ def multihead_block(
         keys = {i: ks[i - 1] for i in range(1, 7)}  # 5: out3 re-pool, 6: convf
 
     outs = {}
+    from ..config import performance
+    merged12 = (not training and performance.merge_heads12
+                and 1 in heads and 2 in heads and heads[1] == heads[2]
+                and cfg.T == 0.0)
+    if merged12:
+        # heads 1/2 share an identical config: run them as ONE grouped
+        # conv chain over 2x the groups (bit-exact — per-group math and
+        # reduction order unchanged; halves the head dispatch/fusion
+        # count).  Weights concat on the output-channel axis, BN vectors
+        # on their channel axis; the input is channel-duplicated so the
+        # first half of the 2G groups sees head-1's view and the second
+        # half head-2's.
+        h1 = heads[1]
+        mcfg = dataclasses.replace(
+            h1, in_planes=2 * h1.in_planes, out_planes=2 * h1.out_planes,
+            groupsici=2 * h1.groupsici)
+        mp = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b],
+                                         axis=-1 if a.ndim == 4 else 0),
+            params["conv1"], params["conv2"])
+        ms = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            state["conv1"], state["conv2"])
+        y12, _ = block_tt(mp, ms, mcfg, jnp.concatenate([x, x], axis=-1),
+                          training=False)
+        outs[1], outs[2] = jnp.split(y12, 2, axis=-1)
+        new_state["conv1"] = state["conv1"]
+        new_state["conv2"] = state["conv2"]
     for idx in sorted(heads):
+        if merged12 and idx in (1, 2):
+            continue
         outs[idx], new_state[f"conv{idx}"] = block_tt(
             params[f"conv{idx}"], state[f"conv{idx}"], heads[idx], x,
             training=training, key=keys.get(idx))

@@ -55,6 +55,28 @@ def test_model_traces(name):
     assert logits.shape == (2, ncls), (name, logits.shape)
 
 
+def test_merge_heads12_bit_exact():
+    """The opt-in head-1/2 merge (performance.merge_heads12) is the same
+    grouped-conv math batched — outputs must be BIT-identical to the
+    unmerged path (it ships off by default: measured slower on chip,
+    see PERF.md, but the record must not rot)."""
+    import numpy as np
+
+    from scale_imagenet_tpu import config
+
+    m = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4, layers=0)
+    p, s = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    ref, _ = m.apply(p, s, x)
+    saved = config.performance.merge_heads12
+    try:
+        config.performance.merge_heads12 = True
+        got, _ = m.apply(p, s, x)
+    finally:
+        config.performance.merge_heads12 = saved
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_invalid_width_raises_not_repairs():
     """A typo'd width must ERROR, not silently step groups down to a
     different architecture — the step-down repair is reserved for the
