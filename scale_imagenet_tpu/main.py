@@ -49,6 +49,14 @@ def parse_args(argv=None):
     p.add_argument("--nfilter", type=int, default=8)
     p.add_argument("--tfilter", type=int, default=8)
     p.add_argument("--layers", type=int, default=1)
+    p.add_argument("--model_arg", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="extra model-config kwarg passed to the registry "
+                        "factory (repeatable), e.g. --model_arg wbit=4 "
+                        "--model_arg abit=4 for the DoReFa ResNets — the "
+                        "reference's --Wbits/--Abit_inter "
+                        "(/root/reference/main.py:44-45); values parse as "
+                        "int/float/bool when they look like one")
 
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="data-parallel mesh axis (-1: all devices)")
@@ -115,11 +123,34 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _parse_model_args(pairs):
+    """``KEY=VALUE`` strings -> kwargs dict, int/float/bool-coerced."""
+    out = {}
+    for pair in pairs:
+        key, sep, raw = pair.partition("=")
+        if not sep or not key:
+            raise SystemExit(f"--model_arg expects KEY=VALUE, got {pair!r}")
+        if raw.lower() in ("true", "false"):
+            out[key] = raw.lower() == "true"
+            continue
+        for cast in (int, float):
+            try:
+                out[key] = cast(raw)
+                break
+            except ValueError:
+                continue
+        else:
+            out[key] = raw
+    return out
+
+
 def build(cfg):
     from .models import get_model
 
-    return get_model(cfg.model, nfilter=cfg.nfilter, tfilter=cfg.tfilter,
-                     layers=cfg.layers)
+    kwargs = dict(nfilter=cfg.nfilter, tfilter=cfg.tfilter,
+                  layers=cfg.layers)
+    kwargs.update(_parse_model_args(cfg.model_arg))  # may override width
+    return get_model(cfg.model, **kwargs)
 
 
 def load_params(cfg, model):

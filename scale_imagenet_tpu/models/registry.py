@@ -268,6 +268,14 @@ MODEL_REGISTRY: dict[str, Callable[..., ModelDef]] = {
     "TT_vf_19lv3_imgnet": _ttnet_imagenet("TT_vf_19lv3_imgnet", "v2"),
 }
 MODEL_REGISTRY.update(_register_extended())
+# verbatim reference class names for the remaining zoo entries, so every
+# reference `--model` spelling resolves (docs/MIGRATION.md)
+MODEL_REGISTRY.setdefault("mobilenet_v1_TT", MODEL_REGISTRY["mobilenet_v1_tt"])
+MODEL_REGISTRY.setdefault("model_cifar10lownoise",
+                          MODEL_REGISTRY["cifar10lownoise"])
+for _small in ("small", "small_n64", "small_n64bis"):
+    MODEL_REGISTRY.setdefault(f"mobilenet_v2_TT_{_small}",
+                              MODEL_REGISTRY[f"mobilenet_v2_tt_{_small}"])
 
 
 def get_model(name: str, **kwargs) -> ModelDef:

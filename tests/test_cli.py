@@ -214,3 +214,24 @@ def test_cli_flag_guards(fake_imagenet, tmp_path):
         main(["--mode", "eval", "--data_dir", fake_imagenet,
               "--model", "TT_FHE_SMALL", "--eval_batch_size", "4",
               "--root_dir", str(tmp_path), "--mesh_data", "1", "--lut"])
+
+
+def test_model_arg_passthrough():
+    """--model_arg KEY=VALUE reaches the registry factory (the
+    reference's --Wbits/--Abit_inter knobs, /root/reference/main.py:44-45)
+    and may override the width flags."""
+    from scale_imagenet_tpu.main import _parse_model_args, build, parse_args
+
+    assert _parse_model_args(["wbit=4", "lr=0.5", "flag=true", "s=abc"]) == {
+        "wbit": 4, "lr": 0.5, "flag": True, "s": "abc"}
+    cfg = parse_args(["--model", "resnet18", "--model_arg", "wbit=2",
+                      "--model_arg", "abit=3"])
+    model = build(cfg)
+    assert model.config.wbit == 2 and model.config.abit == 3
+    # overriding a width flag through --model_arg must not collide with
+    # the explicit kwarg
+    cfg = parse_args(["--model_arg", "nfilter=4", "--tfilter", "4",
+                      "--layers", "0"])
+    assert build(cfg).config.nfilter == 4
+    with pytest.raises(SystemExit):
+        _parse_model_args(["noequals"])
