@@ -106,9 +106,16 @@ class DataLoader:
             probe = np.asarray(self.dataset[0][0])
             shape, images = probe.shape, probe[None]
         for _ in range(n_fill):
-            yield (np.zeros((self.batch_size,) + tuple(shape),
-                            images.dtype),
-                   np.full((self.batch_size,), -1, np.int32))
+            yield filler_batch(self.batch_size, shape, images.dtype)
+
+
+def filler_batch(batch_size: int, shape, dtype=np.uint8):
+    """One all-pad lockstep batch: zero images, every label ``-1`` (the
+    pad marker masked_metric_sums drops).  Short ranks in a multi-process
+    eval yield these so every rank executes the same number of
+    collective steps."""
+    return (np.zeros((batch_size,) + tuple(shape), dtype),
+            np.full((batch_size,), -1, np.int32))
 
 
 def pad_batches(iterator, batch_size: int):

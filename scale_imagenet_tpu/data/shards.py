@@ -182,7 +182,7 @@ class ShardDataset:
         # image on every rank is scored.  drop_last=True keeps the
         # historical lockstep truncation (training).
         if world > 1 and not drop_last:
-            from .loader import pad_batches
+            from .loader import filler_batch, pad_batches
 
             target = self.rank_batches(batch_size, False, world)
             count = 0
@@ -191,11 +191,9 @@ class ShardDataset:
                     batch_size):
                 count += 1
                 yield img, lbl
-            shape = tuple(self.meta["shape"])
             while count < target:   # all-pad lockstep filler
                 count += 1
-                yield (np.zeros((batch_size,) + shape, np.uint8),
-                       np.full((batch_size,), -1, np.int32))
+                yield filler_batch(batch_size, self.meta["shape"])
             return
         it = self._slice_batches(shard_stream(), batch_size,
                                  drop_last or world > 1)

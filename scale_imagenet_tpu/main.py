@@ -201,13 +201,15 @@ def _load_or_compile_luts(model, params, state, lut_path=None,
     return luts
 
 
-def _as_lut_model(model, params, state, lut_path=None):
+def _as_lut_model(model, params, state, lut_path=None, save_ok=True):
     """Wrap a ttnet_imagenet model as its compiled-LUT serving twin:
     ``apply`` runs truth-table blocks (Pallas gather on TPU) instead of
-    conv math."""
+    conv math.  ``save_ok``: only the coordinator may write the archive
+    (concurrent ranks racing one np.savez would tear it)."""
     from .compile import lut_ttnet_apply
 
-    luts = _load_or_compile_luts(model, params, state, lut_path)
+    luts = _load_or_compile_luts(model, params, state, lut_path,
+                                 save_ok=save_ok)
 
     # The tables ride INSIDE the params pytree so they enter every jitted
     # step as runtime arguments — closing over them would bake gigabytes
@@ -338,7 +340,8 @@ def main(argv=None):
             params = cast_floating(params)
             state = cast_floating(state)
         if cfg.lut and not cfg.tp:
-            model = _as_lut_model(model, params, state, cfg.lut_path)
+            model = _as_lut_model(model, params, state, cfg.lut_path,
+                                  save_ok=is_coord)
             params = model.wrap_params(params)
 
         # input source — each process loads 1/world of every global batch
@@ -509,7 +512,12 @@ def main(argv=None):
         else:
             train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
                                          **train_kwargs)
-        ckpt = CheckpointManager(ckpt_dir) if is_coord else None
+        # best tracking lives at the stable <root>/ckpt/<log_name>/ parent
+        # so it is continuous across resumed runs (each run's step dirs
+        # stay in their own timestamped ckpt_dir leaf)
+        ckpt = CheckpointManager(
+            ckpt_dir, best_root=os.path.dirname(ckpt_dir)) \
+            if is_coord else None
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
         if world > 1:
             from .parallel.multihost import global_batch

@@ -147,7 +147,10 @@ def lut_gather(packed: jnp.ndarray, idx: jnp.ndarray, *,
     # pipeline worse than 128-row steps), then (b) balanced so the last
     # tile is nearly full (a flat cap wastes up to 30% of the row walk
     # as padding at some E)
-    cap = max(8, min(tile_rows, (2048 // max(f, 1)) // 8 * 8))
+    # cap must itself be a multiple of 8: candidate tiles are rounded up
+    # to sublane multiples, and a non-8-multiple caller cap (tile_rows is
+    # a public kwarg) would otherwise reject every candidate at large E
+    cap = max(8, min(tile_rows // 8 * 8, (2048 // max(f, 1)) // 8 * 8))
     rows = max(1, -(-e // 128))
     # pick the tile count with the least padded rows (plain rows/cap can
     # round into 2-6% dead rows at awkward sizes; a handful of extra

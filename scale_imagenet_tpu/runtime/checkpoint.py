@@ -67,22 +67,33 @@ def load_checkpoint(path: str, like: Any | None = None):
     return ckptr.restore(tree_path)
 
 
+def _wrote(path: str, root: str) -> bool:
+    """True if ``path`` is inside ``root`` (this run's own step dirs)."""
+    path = os.path.realpath(path)
+    root = os.path.realpath(root)
+    return path == root or path.startswith(root + os.sep)
+
+
 class CheckpointManager:
     """Timestamped run-dir checkpoints with last/best symlinked names
-    (the reference keeps ckpt/<log_name>/<date>/, main.py:84-92)."""
+    (the reference keeps ckpt/<log_name>/<date>/, main.py:84-92).
 
-    def __init__(self, root: str, keep: int = 3):
+    ``best_root``: where the 'best' link + best.json live.  The CLI
+    passes the stable ``ckpt/<log_name>/`` parent so best tracking is
+    continuous across resumed runs (each run's step dirs stay in its own
+    timestamped leaf; without this, a resumed run's first epoch — any
+    metric > -inf — would claim 'best' even when a prior run did
+    better).  Defaults to ``root``."""
+
+    def __init__(self, root: str, keep: int = 3, best_root: str | None = None):
         self.root = root
+        self.best_root = best_root or root
         self.keep = keep
         os.makedirs(root, exist_ok=True)
+        os.makedirs(self.best_root, exist_ok=True)
         self._saved: list[str] = []
-        # restore the best metric from a prior run in this dir — without
-        # this, a resumed run's first epoch (any metric > -inf) would
-        # re-point 'best' and DESTROY the previous run's genuinely-best
-        # checkpoint (the link reap in _update_link deletes superseded
-        # targets)
         self.best_metric = -float("inf")
-        best_json = os.path.join(root, "best.json")
+        best_json = os.path.join(self.best_root, "best.json")
         if os.path.exists(best_json):
             with open(best_json) as f:
                 self.best_metric = float(json.load(f)["metric"])
@@ -95,7 +106,7 @@ class CheckpointManager:
         self._update_link("last", path)
         if metric is not None and metric > self.best_metric:
             self.best_metric = metric
-            with open(os.path.join(self.root, "best.json"), "w") as f:
+            with open(os.path.join(self.best_root, "best.json"), "w") as f:
                 json.dump({"metric": metric, "step": step}, f)
             self._update_link("best", path)
         while len(self._saved) > self.keep:
@@ -104,26 +115,37 @@ class CheckpointManager:
                 import shutil
                 shutil.rmtree(old, ignore_errors=True)
 
+    def _link_path(self, name: str) -> str:
+        root = self.best_root if name == "best" else self.root
+        return os.path.join(root, name)
+
     def _update_link(self, name: str, target: str):
-        link = os.path.join(self.root, name)
+        link = self._link_path(name)
         old = None
         if os.path.islink(link):
-            old = os.path.join(self.root, os.readlink(link))
+            old = os.path.normpath(
+                os.path.join(os.path.dirname(link), os.readlink(link)))
             os.unlink(link)
-        os.symlink(os.path.basename(target), link)
+        # relative link so the tree stays relocatable (same-dir targets
+        # degrade to a bare basename, the pre-best_root behavior)
+        os.symlink(os.path.relpath(target, os.path.dirname(link)), link)
         # reap a former link target that already aged out of the keep
         # window (it was skipped by the prune while protected) — without
-        # this, every superseded 'best' directory leaks forever
+        # this, every superseded 'best' directory leaks forever.  Only
+        # ever reap step dirs THIS run wrote (a cross-run 'best' in
+        # best_root may point into an older run's tree — not ours to
+        # delete unless it aged out of our own keep window)
+        target = os.path.normpath(target)
         if old and old != target and old not in self._saved \
-                and not self._is_linked(old):
+                and _wrote(old, self.root) and not self._is_linked(old):
             import shutil
             shutil.rmtree(old, ignore_errors=True)
 
     def _is_linked(self, path: str) -> bool:
         for name in ("last", "best"):
-            link = os.path.join(self.root, name)
+            link = self._link_path(name)
             if os.path.islink(link) and \
-                    os.readlink(link) == os.path.basename(path):
+                    os.path.realpath(link) == os.path.realpath(path):
                 return True
         return False
 

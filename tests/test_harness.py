@@ -294,3 +294,32 @@ def _sharded_train_equiv(get_model, shard_params, TrainState,
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8,
             err_msg=str(path))
+
+
+def test_checkpoint_best_across_run_dirs(tmp_path):
+    """The CLI layout: per-run timestamped step dirs, best tracking at the
+    stable ckpt/<log_name>/ parent — continuous across resumed runs, and
+    never deleting another run's step dirs."""
+    from scale_imagenet_tpu.runtime.checkpoint import CheckpointManager
+
+    payload = {"params": {"w": jnp.arange(3.0)}}
+    parent = tmp_path
+    m1 = CheckpointManager(str(parent / "run1"), keep=2,
+                           best_root=str(parent))
+    m1.save(1, payload, metric=90.0)
+    best1 = os.path.realpath(str(parent / "best"))
+    assert best1.startswith(str(parent / "run1"))
+
+    m2 = CheckpointManager(str(parent / "run2"), keep=2,
+                           best_root=str(parent))
+    assert m2.best_metric == 90.0      # restored across runs
+    m2.save(1, payload, metric=50.0)   # worse: best stays in run1
+    assert os.path.realpath(str(parent / "best")) == best1
+    assert os.path.isdir(best1)
+    m2.save(2, payload, metric=95.0)   # better: best moves to run2
+    assert os.path.realpath(str(parent / "best")).startswith(
+        str(parent / "run2"))
+    # run1's superseded best must NOT be reaped (not ours; its own
+    # 'last' link still points there)
+    assert os.path.isdir(best1)
+    assert os.path.realpath(str(parent / "run1" / "last")) == best1

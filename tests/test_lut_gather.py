@@ -104,3 +104,17 @@ def test_last_block_float_pallas_path():
     ref = lut_block_tt_apply(lut, x, pallas=False)
     got = lut_block_tt_apply(lut, x, pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_odd_tile_rows_cap_large_e():
+    """A caller-supplied non-8-multiple tile_rows cap with a large lookup
+    count must not crash the tile-count search (regression: every
+    candidate tile rounded up past the cap -> unpacking None)."""
+    rng = np.random.default_rng(7)
+    table = _random_bit_table(rng, 4, 1)
+    packed = jnp.asarray(pack_bit_table(table, 1))
+    e = 256_000
+    idx = rng.integers(0, 2 ** 4, (1, e)).astype(np.int32)
+    out = lut_gather(packed, jnp.asarray(idx), tile_rows=12, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1)[:e], table[idx[0], 0])
