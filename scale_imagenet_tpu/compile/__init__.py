@@ -17,9 +17,11 @@ from .logic import (
 from .lut_eval import (
     compile_block_tt_lut,
     compile_multihead_lut,
+    compile_tt_fhe_lut,
     compile_ttnet_lut,
     lut_block_tt_apply,
     lut_multihead_apply,
+    lut_tt_fhe_apply,
     lut_ttnet_apply,
 )
 from .lut_store import load_luts, save_luts
@@ -27,9 +29,11 @@ from .lut_store import load_luts, save_luts
 __all__ = [
     "compile_block_tt_lut",
     "compile_multihead_lut",
+    "compile_tt_fhe_lut",
     "compile_ttnet_lut",
     "lut_block_tt_apply",
     "lut_multihead_apply",
+    "lut_tt_fhe_apply",
     "lut_ttnet_apply",
     "load_luts",
     "save_luts",

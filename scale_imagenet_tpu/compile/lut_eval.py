@@ -216,6 +216,59 @@ def compile_ttnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
     ]
 
 
+def compile_tt_fhe_lut(params, state, cfg) -> list[MultiHeadLUT]:
+    """Compile a TT_FHE model's blocks for LUT serving — the family the
+    reference's truth tables were built for (TT_FHE_SMALL.py:322-431);
+    its n ∈ {4, 8, 9} tables are tiny.  Only deterministic (T = 0)
+    configs have well-defined tables, and the stem activation must emit
+    {0,1} bits for table indexing."""
+    spec = cfg.spec
+    if spec["T"] != 0.0 or spec["T_block"] != 0.0:
+        raise ValueError(
+            f"{cfg.name}: noisy dead-zone Heaviside (T={spec['T']}, "
+            f"T_block={spec['T_block']}) is stochastic at inference — a "
+            "truth table cannot represent it; compiled-LUT serving needs "
+            "a T=0 config")
+    if spec.get("act") == "bireal":
+        raise ValueError(
+            f"{cfg.name}: the Bi-Real stem activation emits scaled sign "
+            "values, not {0,1} bits — LUT blocks cannot index them")
+    return [
+        compile_multihead_lut(params[f"block{i}"], state[f"block{i}"], bcfg)
+        for i, bcfg in enumerate(cfg.block_configs())
+    ]
+
+
+def lut_tt_fhe_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
+                     pallas: bool | None = None, interpret: bool = False,
+                     bits_dtype=None):
+    """Full LUT-mode forward of a TT_FHE model: float stem + classifier
+    head, table-lookup blocks.  Mirrors ``tt_fhe_apply`` at eval; see
+    ``lut_ttnet_apply`` for the ``bits_dtype`` contract."""
+    from ..layers.conv import conv2d
+    from ..layers.norm import batch_norm
+    from ..models.tt_fhe import tt_fhe_head
+    from ..ops.binarize import binarize01_act
+
+    spec = cfg.spec
+    h = conv2d(params["stem_conv"], x, stride=2, padding=spec["pad"])
+    h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+    h = binarize01_act(h)                     # T == 0 (compile guard)
+    if bits_dtype is None:
+        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    h = h.astype(bits_dtype)
+    for i, lut in enumerate(luts):
+        cf = None
+        if lut.convf is not None and lut.convf.cfg.last:
+            cf = (params[f"block{i}"]["convf"], state[f"block{i}"]["convf"])
+        h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret,
+                                convf_float=cf)
+    logits, _ = tt_fhe_head(params, state, cfg, h.astype(jnp.float32),
+                            training=False)
+    return logits
+
+
 def lut_ttnet_features(luts: list[MultiHeadLUT], params, state, cfg, x, *,
                        pallas: bool | None = None, interpret: bool = False,
                        last_via_conv: bool = True, bits_dtype=None):

@@ -174,27 +174,39 @@ def load_params(cfg, model):
     return payload["params"], payload["state"]
 
 
+def _lut_family(config):
+    """(compile_fn, apply_fn) for a config's model family, or a clear
+    error for families without a LUT serving path."""
+    from . import compile as C
+    from .models.tt_fhe import TTFHEConfig
+    from .models.ttnet_imagenet import TTnetImageNetConfig
+
+    if isinstance(config, TTnetImageNetConfig):
+        return C.compile_ttnet_lut, C.lut_ttnet_apply
+    if isinstance(config, TTFHEConfig):
+        return C.compile_tt_fhe_lut, C.lut_tt_fhe_apply
+    raise ValueError("--lut serving supports the ttnet_imagenet and "
+                     f"TT_FHE families, not {type(config).__name__}")
+
+
 def _load_or_compile_luts(model, params, state, lut_path=None,
                           save_ok=True):
-    """LUT tables for a ttnet_imagenet model: load from ``lut_path`` when
-    present, else compile (2^n enumeration per head) and save there if
-    given.  ``save_ok=False`` suppresses the write (non-coordinator ranks
+    """LUT tables for a model: load from ``lut_path`` when present, else
+    compile (2^n enumeration per head) and save there if given.
+    ``save_ok=False`` suppresses the write (non-coordinator ranks
     — concurrent writers to a shared path would race)."""
     import os as _os
 
-    from .compile import compile_ttnet_lut, load_luts, save_luts
-    from .models.ttnet_imagenet import TTnetImageNetConfig
+    from .compile import load_luts, save_luts
 
-    if not isinstance(model.config, TTnetImageNetConfig):
-        raise ValueError("--lut serving supports the ttnet_imagenet "
-                         f"family, not {type(model.config).__name__}")
+    compile_fn, _ = _lut_family(model.config)
     if lut_path and not lut_path.endswith(".npz"):
         lut_path += ".npz"   # np.savez appends it; keep load/save agreed
     if lut_path and _os.path.exists(lut_path):
         print(f"loading LUTs from {lut_path}")
         return load_luts(lut_path, model.config)
     print("compiling truth tables (2^n patterns per head)...")
-    luts = compile_ttnet_lut(params, state, model.config)
+    luts = compile_fn(params, state, model.config)
     if lut_path and save_ok:
         save_luts(lut_path, luts)
         print(f"saved LUTs -> {lut_path}")
@@ -202,12 +214,11 @@ def _load_or_compile_luts(model, params, state, lut_path=None,
 
 
 def _as_lut_model(model, params, state, lut_path=None, save_ok=True):
-    """Wrap a ttnet_imagenet model as its compiled-LUT serving twin:
-    ``apply`` runs truth-table blocks (Pallas gather on TPU) instead of
-    conv math.  ``save_ok``: only the coordinator may write the archive
-    (concurrent ranks racing one np.savez would tear it)."""
-    from .compile import lut_ttnet_apply
-
+    """Wrap a model as its compiled-LUT serving twin: ``apply`` runs
+    truth-table blocks (Pallas gather on TPU) instead of conv math.
+    ``save_ok``: only the coordinator may write the archive (concurrent
+    ranks racing one np.savez would tear it)."""
+    _, lut_apply = _lut_family(model.config)
     luts = _load_or_compile_luts(model, params, state, lut_path,
                                  save_ok=save_ok)
 
@@ -226,10 +237,24 @@ def _as_lut_model(model, params, state, lut_path=None, save_ok=True):
         @staticmethod
         def apply(params, state, x, training=False, key=None):
             del training, key
-            return lut_ttnet_apply(params["luts"], params["model"], state,
-                                   model.config, x), state
+            return lut_apply(params["luts"], params["model"], state,
+                             model.config, x), state
 
     return _LutModel()
+
+
+def _pick_transforms(model):
+    """(eval_tfm, train_tfm) for directory datasets, by the model's
+    native resolution: the ImageNet 256→224 pipeline for 224² models,
+    the CIFAR pipeline (reference preprocess.py:62-90) for small ones —
+    so the CIFAR/FHE families are drivable from an ImageFolder too."""
+    from .data import imagenet_eval_transform, imagenet_train_transform
+
+    if getattr(model.config, "image_size", 224) == 224:
+        return imagenet_eval_transform, imagenet_train_transform
+    from .data.transforms import cifar_eval_transform, cifar_train_transform
+
+    return cifar_eval_transform, cifar_train_transform
 
 
 def main(argv=None):
@@ -289,8 +314,9 @@ def main(argv=None):
     params, state = load_params(cfg, model)
     n_params = sum(p.size for p in jax.tree.leaves(params))
     if is_coord:
-        print(f"model {model.name}: {n_params:,} params, "
-              f"fcsize {model.config.fcsize}")
+        fc = getattr(model.config, "fcsize", None)   # ResNets have none
+        print(f"model {model.name}: {n_params:,} params"
+              + (f", fcsize {fc}" if fc is not None else ""))
 
     if cfg.mode == "compile":
         # truth-table compilation: every Block_TT of every multi-head block
@@ -360,13 +386,19 @@ def main(argv=None):
             if is_coord:
                 print(f"eval shards: {len(loader.dataset)} images")
         else:
+            eval_tfm, _ = _pick_transforms(model)
             if cfg.native_data:
+                if eval_tfm is not imagenet_eval_transform:
+                    raise ValueError("--native_data is the 256->224 "
+                                     "ImageNet decode pipeline; this "
+                                     "model's resolution needs the PIL "
+                                     "path")
                 from .native.ttdata import NativeImageFolder
 
                 ds = NativeImageFolder(os.path.join(cfg.data_dir, "val"))
             else:
                 ds = ImageFolder(os.path.join(cfg.data_dir, "val"),
-                                 imagenet_eval_transform)
+                                 eval_tfm)
             if is_coord:
                 print(f"eval dataset: {len(ds)} images / "
                       f"{len(ds.classes)} classes")
@@ -384,6 +416,13 @@ def main(argv=None):
                 # gathers its channel slice's truth tables (same
                 # communication structure as conv TP); only the
                 # coordinator writes the archive
+                from .models.ttnet_imagenet import TTnetImageNetConfig
+
+                if not isinstance(model.config, TTnetImageNetConfig):
+                    raise ValueError(
+                        "--tp --lut (mesh-sharded compiled serving) "
+                        "supports the ttnet_imagenet family; serve "
+                        f"{type(model.config).__name__} with --lut alone")
                 luts = _load_or_compile_luts(model, params, state,
                                              cfg.lut_path,
                                              save_ok=is_coord)
@@ -455,7 +494,7 @@ def main(argv=None):
                             augment="full" if full_recipe else True)
     else:
         train_ds = ImageFolder(os.path.join(cfg.data_dir, "train"),
-                               imagenet_train_transform)
+                               _pick_transforms(model)[1])
         loader = DataLoader(train_ds, local_tbs, shuffle=True,
                             num_workers=cfg.num_workers, drop_last=True,
                             seed=cfg.seed, rank=rank, world=world)
@@ -550,7 +589,7 @@ def main(argv=None):
                 if not os.path.isdir(val_dir):
                     return None
                 ld = DataLoader(ImageFolder(val_dir,
-                                            imagenet_eval_transform),
+                                            _pick_transforms(model)[0]),
                                 local_ebs, drop_last=False,
                                 num_workers=cfg.num_workers,
                                 rank=rank, world=world)

@@ -164,8 +164,6 @@ def init_tt_fhe(key, cfg: TTFHEConfig, dtype=jnp.float32):
 
 def tt_fhe_apply(params, state, cfg: TTFHEConfig, x, training=False,
                  key=None):
-    from ..ops.poly import polynome_act
-
     spec = cfg.spec
     new_state = {}
     x = conv2d(params["stem_conv"], x, stride=2, padding=spec["pad"])
@@ -185,6 +183,17 @@ def tt_fhe_apply(params, state, cfg: TTFHEConfig, x, training=False,
         bk = None if key is None else jax.random.fold_in(key, i)
         x, new_state[f"block{i}"] = multihead_block(
             params[f"block{i}"], state[f"block{i}"], bcfg, x, training, bk)
+    return tt_fhe_head(params, state, cfg, x, training, new_state)
+
+
+def tt_fhe_head(params, state, cfg: TTFHEConfig, x, training=False,
+                new_state=None):
+    """Pool + flatten + classifier tail shared by the float forward and
+    compiled-LUT serving (compile/lut_eval.py::lut_tt_fhe_apply)."""
+    from ..ops.poly import polynome_act
+
+    spec = cfg.spec
+    new_state = {} if new_state is None else new_state
     x = max_pool(x, 2) if spec["pool"] == "max" else avg_pool(x, 2)
     x = flatten(x)
     if spec["classifier"] == "scale_new":

@@ -208,12 +208,19 @@ def test_cli_flag_guards(fake_imagenet, tmp_path):
     with pytest.raises(ValueError, match="bf16"):
         main(base + ["--bf16", "--lut"])
     # --tp --lut is a SUPPORTED combination since r3 (mesh-sharded
-    # compiled-network serving, test_cli_tp_lut_serving); the remaining
-    # guard is the non-ttnet family check
-    with pytest.raises(ValueError, match="ttnet_imagenet"):
+    # compiled-network serving, test_cli_tp_lut_serving), and plain
+    # --lut now also serves the FHE family (test_cli_fhe_lut_eval); the
+    # remaining guards: families with no LUT path at all, and TP
+    # compiled serving outside the ttnet_imagenet family
+    with pytest.raises(ValueError, match="ttnet_imagenet and TT_FHE"):
         main(["--mode", "eval", "--data_dir", fake_imagenet,
-              "--model", "TT_FHE_SMALL", "--eval_batch_size", "4",
+              "--model", "resnet18", "--eval_batch_size", "4",
               "--root_dir", str(tmp_path), "--mesh_data", "1", "--lut"])
+    with pytest.raises(ValueError, match="--tp --lut"):
+        main(["--mode", "eval", "--data_dir", fake_imagenet,
+              "--model", "TT_FHE_SMALL", "--nfilter", "4", "--tfilter",
+              "4", "--eval_batch_size", "4", "--root_dir", str(tmp_path),
+              "--mesh_data", "1", "--tp", "--lut"])
 
 
 def test_model_arg_passthrough():
@@ -235,3 +242,30 @@ def test_model_arg_passthrough():
     assert build(cfg).config.nfilter == 4
     with pytest.raises(SystemExit):
         _parse_model_args(["noequals"])
+
+
+def test_cli_fhe_lut_eval(tmp_path):
+    """--lut serving for the FHE family (32x32): compiled-table eval
+    through the real CLI matches conv-mode eval on the same data."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    root = tmp_path / "fake_cifar"
+    rng = np.random.default_rng(3)
+    for c in range(2):
+        d = root / "val" / f"c{c}"
+        d.mkdir(parents=True)
+        for i in range(5):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"i{i}.png")
+
+    args = ["--mode", "eval", "--data_dir", str(root),
+            "--model", "TT_FHE_SMALL", "--nfilter", "4", "--tfilter", "4",
+            "--eval_batch_size", "4", "--num_workers", "1",
+            "--root_dir", str(tmp_path), "--mesh_data", "1"]
+    conv = main(args)
+    lut_path = str(tmp_path / "fhe_luts.npz")
+    lut1 = main(args + ["--lut", "--lut_path", lut_path])
+    assert os.path.exists(lut_path)
+    lut2 = main(args + ["--lut", "--lut_path", lut_path])  # load path
+    assert lut1 == conv and lut2 == conv

@@ -104,3 +104,37 @@ def test_lut_store_roundtrip(tmp_path):
     ref = lut_ttnet_apply(luts, params, state, m.config, x)
     got = lut_ttnet_apply(loaded, params, state, m.config, x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fhe_model_lut_forward():
+    """The FHE family — whose n in {4,8,9} tables are what the reference
+    extracted (TT_FHE_SMALL.py:322-431) — serves from its compiled
+    tables: LUT logits match the float model's eval logits."""
+    from scale_imagenet_tpu.compile import compile_tt_fhe_lut, \
+        lut_tt_fhe_apply
+
+    for name in ("TT_FHE_SMALL", "TT_FHE_SMALL_polyhead"):
+        m = get_model(name, nfilter=4, tfilter=4)
+        params, state = m.init(jax.random.PRNGKey(0))
+        state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a,
+                             state)
+        luts = compile_tt_fhe_lut(params, state, m.config)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        ref, _ = m.apply(params, state, x)
+        got = lut_tt_fhe_apply(luts, params, state, m.config, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fhe_lut_rejects_stochastic_and_bireal():
+    from scale_imagenet_tpu.compile import compile_tt_fhe_lut
+    import pytest
+
+    m = get_model("TT_FHE_small", nfilter=4, tfilter=4)  # T=0.03/0.1
+    params, state = m.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="stochastic"):
+        compile_tt_fhe_lut(params, state, m.config)
+    m = get_model("TT_FHE_SMALL_bireal", nfilter=4, tfilter=4)
+    params, state = m.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="bireal|Bi-Real"):
+        compile_tt_fhe_lut(params, state, m.config)
