@@ -17,10 +17,12 @@ from .logic import (
 from .lut_eval import (
     compile_block_tt_lut,
     compile_multihead_lut,
+    compile_tt_fhe_alexnet_lut,
     compile_tt_fhe_lut,
     compile_ttnet_lut,
     lut_block_tt_apply,
     lut_multihead_apply,
+    lut_tt_fhe_alexnet_apply,
     lut_tt_fhe_apply,
     lut_ttnet_apply,
 )
@@ -29,10 +31,12 @@ from .lut_store import load_luts, save_luts
 __all__ = [
     "compile_block_tt_lut",
     "compile_multihead_lut",
+    "compile_tt_fhe_alexnet_lut",
     "compile_tt_fhe_lut",
     "compile_ttnet_lut",
     "lut_block_tt_apply",
     "lut_multihead_apply",
+    "lut_tt_fhe_alexnet_apply",
     "lut_tt_fhe_apply",
     "lut_ttnet_apply",
     "load_luts",

@@ -239,6 +239,42 @@ def compile_tt_fhe_lut(params, state, cfg) -> list[MultiHeadLUT]:
     ]
 
 
+def compile_tt_fhe_alexnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
+    """Compile the VGG-stem FHE variant's block (fhe_v3, T=0 always)."""
+    return [compile_multihead_lut(params["block0"], state["block0"],
+                                  cfg.block_configs()[0])]
+
+
+def lut_tt_fhe_alexnet_apply(luts: list[MultiHeadLUT], params, state, cfg,
+                             x, *, pallas: bool | None = None,
+                             interpret: bool = False, bits_dtype=None):
+    """LUT-mode forward of TT_FHE_XSMALL_vAlexnet: float VGG stem +
+    linear head, table-lookup block (mirrors ``tt_fhe_alexnet_apply``)."""
+    from ..layers.conv import conv2d
+    from ..layers.linear import linear
+    from ..layers.norm import batch_norm
+    from ..layers.pool import flatten, max_pool
+    from ..ops.binarize import binarize01_act
+
+    h = jax.nn.relu(conv2d(params["vgg_conv1"], x, padding=1))
+    h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+    h = max_pool(h, cfg.maxpool)
+    h = binarize01_act(h)
+    if bits_dtype is None:
+        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    h = h.astype(bits_dtype)
+    cf = None
+    if luts[0].convf is not None and luts[0].convf.cfg.last:
+        cf = (params["block0"]["convf"], state["block0"]["convf"])
+    h = lut_multihead_apply(luts[0], h, pallas=pallas, interpret=interpret,
+                            convf_float=cf)
+    h = flatten(h).astype(jnp.float32)
+    h = linear(params["lin1"], h)
+    h, _ = batch_norm(params["bn1"], state["bn1"], h, False)
+    return linear(params["lin2"], h)
+
+
 def lut_tt_fhe_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
                      pallas: bool | None = None, interpret: bool = False,
                      bits_dtype=None):

@@ -178,13 +178,15 @@ def _lut_family(config):
     """(compile_fn, apply_fn) for a config's model family, or a clear
     error for families without a LUT serving path."""
     from . import compile as C
-    from .models.tt_fhe import TTFHEConfig
+    from .models.tt_fhe import TTFHEAlexnetConfig, TTFHEConfig
     from .models.ttnet_imagenet import TTnetImageNetConfig
 
     if isinstance(config, TTnetImageNetConfig):
         return C.compile_ttnet_lut, C.lut_ttnet_apply
     if isinstance(config, TTFHEConfig):
         return C.compile_tt_fhe_lut, C.lut_tt_fhe_apply
+    if isinstance(config, TTFHEAlexnetConfig):
+        return C.compile_tt_fhe_alexnet_lut, C.lut_tt_fhe_alexnet_apply
     raise ValueError("--lut serving supports the ttnet_imagenet and "
                      f"TT_FHE families, not {type(config).__name__}")
 

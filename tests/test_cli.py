@@ -244,9 +244,11 @@ def test_model_arg_passthrough():
         _parse_model_args(["noequals"])
 
 
-def test_cli_fhe_lut_eval(tmp_path):
-    """--lut serving for the FHE family (32x32): compiled-table eval
-    through the real CLI matches conv-mode eval on the same data."""
+@pytest.mark.parametrize("model", ["TT_FHE_SMALL", "TT_FHE_XSMALL_vAlexnet"])
+def test_cli_fhe_lut_eval(tmp_path, model):
+    """--lut serving for the FHE family (32x32), including the VGG-stem
+    vAlexnet variant: compiled-table eval through the real CLI matches
+    conv-mode eval on the same data."""
     PIL = pytest.importorskip("PIL")
     from PIL import Image
 
@@ -260,7 +262,7 @@ def test_cli_fhe_lut_eval(tmp_path):
             Image.fromarray(arr).save(d / f"i{i}.png")
 
     args = ["--mode", "eval", "--data_dir", str(root),
-            "--model", "TT_FHE_SMALL", "--nfilter", "4", "--tfilter", "4",
+            "--model", model, "--nfilter", "4", "--tfilter", "4",
             "--eval_batch_size", "4", "--num_workers", "1",
             "--root_dir", str(tmp_path), "--mesh_data", "1"]
     conv = main(args)

@@ -126,6 +126,24 @@ def test_fhe_model_lut_forward():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fhe_alexnet_lut_forward():
+    """The VGG-stem FHE variant (TT_FHE_XSMALL_vAlexnet.py:587-655,
+    fhe_v3 block, T=0 always) serves from its compiled tables: LUT
+    logits match the float model's eval logits."""
+    from scale_imagenet_tpu.compile import compile_tt_fhe_alexnet_lut, \
+        lut_tt_fhe_alexnet_apply
+
+    m = get_model("TT_FHE_XSMALL_vAlexnet")
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+    luts = compile_tt_fhe_alexnet_lut(params, state, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    ref, _ = m.apply(params, state, x)
+    got = lut_tt_fhe_alexnet_apply(luts, params, state, m.config, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fhe_lut_rejects_stochastic_and_bireal():
     from scale_imagenet_tpu.compile import compile_tt_fhe_lut
     import pytest
