@@ -20,11 +20,13 @@ from .lut_eval import (
     compile_tt_fhe_alexnet_lut,
     compile_tt_fhe_lut,
     compile_ttnet_lut,
+    compile_ttnet_vgg_stem_lut,
     lut_block_tt_apply,
     lut_multihead_apply,
     lut_tt_fhe_alexnet_apply,
     lut_tt_fhe_apply,
     lut_ttnet_apply,
+    lut_ttnet_vgg_stem_apply,
 )
 from .lut_store import load_luts, save_luts
 
@@ -34,11 +36,13 @@ __all__ = [
     "compile_tt_fhe_alexnet_lut",
     "compile_tt_fhe_lut",
     "compile_ttnet_lut",
+    "compile_ttnet_vgg_stem_lut",
     "lut_block_tt_apply",
     "lut_multihead_apply",
     "lut_tt_fhe_alexnet_apply",
     "lut_tt_fhe_apply",
     "lut_ttnet_apply",
+    "lut_ttnet_vgg_stem_apply",
     "load_luts",
     "save_luts",
     "block_truth_table",

@@ -275,6 +275,47 @@ def lut_tt_fhe_alexnet_apply(luts: list[MultiHeadLUT], params, state, cfg,
     return linear(params["lin2"], h)
 
 
+def compile_ttnet_vgg_stem_lut(params, state, cfg) -> list[MultiHeadLUT]:
+    """Compile the VGG16-stem ImageNet variant's single xsmall stage
+    (TT_general_imagenet_v2_xsmall_alexnet.py:156-214; deterministic
+    Heaviside, so its tables are exact)."""
+    return [compile_multihead_lut(params["block0"], state["block0"],
+                                  cfg.block_config())]
+
+
+def lut_ttnet_vgg_stem_apply(luts: list[MultiHeadLUT], params, state, cfg,
+                             x, *, pallas: bool | None = None,
+                             interpret: bool = False, bits_dtype=None):
+    """LUT-mode forward of TT_vf_19lv3_imgnet_xsmall_VGG: frozen VGG
+    stem + Classifier_scale in float, table-lookup stage (mirrors
+    ``ttnet_vgg_stem_apply``)."""
+    from ..layers.conv import conv2d
+    from ..layers.norm import batch_norm
+    from ..layers.pool import avg_pool, flatten, max_pool
+    from ..models.classifier import classifier_scale
+    from ..ops.binarize import binarize01_act
+
+    h = avg_pool(x, 4)
+    h = jax.nn.relu(conv2d(params["vgg_conv1"], h, padding=1))
+    h = jax.nn.relu(conv2d(params["vgg_conv2"], h, padding=1))
+    h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+    h = max_pool(h, 5)
+    h = binarize01_act(h)
+    if bits_dtype is None:
+        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    h = h.astype(bits_dtype)
+    cf = None
+    if luts[0].convf is not None and luts[0].convf.cfg.last:
+        cf = (params["block0"]["convf"], state["block0"]["convf"])
+    h = lut_multihead_apply(luts[0], h, pallas=pallas, interpret=interpret,
+                            convf_float=cf)
+    h = flatten(h).astype(jnp.float32)
+    logits, _ = classifier_scale(params["classifier"], state["classifier"],
+                                 h, False)
+    return logits
+
+
 def lut_tt_fhe_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
                      pallas: bool | None = None, interpret: bool = False,
                      bits_dtype=None):

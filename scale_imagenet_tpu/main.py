@@ -179,10 +179,13 @@ def _lut_family(config):
     error for families without a LUT serving path."""
     from . import compile as C
     from .models.tt_fhe import TTFHEAlexnetConfig, TTFHEConfig
-    from .models.ttnet_imagenet import TTnetImageNetConfig
+    from .models.ttnet_imagenet import TTnetImageNetConfig, \
+        TTnetVGGStemConfig
 
     if isinstance(config, TTnetImageNetConfig):
         return C.compile_ttnet_lut, C.lut_ttnet_apply
+    if isinstance(config, TTnetVGGStemConfig):
+        return C.compile_ttnet_vgg_stem_lut, C.lut_ttnet_vgg_stem_apply
     if isinstance(config, TTFHEConfig):
         return C.compile_tt_fhe_lut, C.lut_tt_fhe_apply
     if isinstance(config, TTFHEAlexnetConfig):

@@ -184,6 +184,11 @@ class TTnetVGGStemConfig:
                                stride=1, last=True,
                                **BLOCK_VARIANTS["xsmall"])
 
+    def block_configs(self) -> list[MultiHeadConfig]:
+        # plural alias: the LUT archive loader (compile/lut_store.py)
+        # walks blocks by this name across every servable family
+        return [self.block_config()]
+
     def feature_shape(self):
         s = self.image_size // 4      # AvgPool(4); convs keep size
         s = s // 5                    # MaxPool(5)

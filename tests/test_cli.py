@@ -66,13 +66,16 @@ def test_cli_compile(tmp_path):
     assert os.listdir(os.path.join(out, dirs[0]))
 
 
-def test_cli_lut_serving(fake_imagenet, tmp_path):
-    """--lut: compiled truth-table serving through the CLI — same
-    accuracy/loss as conv mode, and the archive round-trips via
-    --lut_path (compile+save on first run, load on second)."""
+@pytest.mark.parametrize("model", ["ttnet_imagenet_xsmall",
+                                   "TT_vf_19lv3_imgnet_xsmall_VGG"])
+def test_cli_lut_serving(fake_imagenet, tmp_path, model):
+    """--lut: compiled truth-table serving through the CLI (flagship
+    family and the VGG16-stem variant) — same accuracy/loss as conv
+    mode, and the archive round-trips via --lut_path (compile+save on
+    first run, load on second)."""
     args = [
         "--mode", "eval", "--data_dir", fake_imagenet,
-        "--model", "ttnet_imagenet_xsmall",
+        "--model", model,
         "--nfilter", "4", "--tfilter", "4", "--layers", "0",
         "--eval_batch_size", "4", "--num_workers", "2",
         "--root_dir", str(tmp_path), "--mesh_data", "1",

@@ -126,6 +126,25 @@ def test_fhe_model_lut_forward():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_vgg_stem_lut_forward():
+    """The VGG16-stem ImageNet variant (TT_general_imagenet_v2_xsmall_
+    alexnet.py:156-214) serves from its compiled tables, including the
+    save/load archive path: LUT logits match the float model's."""
+    from scale_imagenet_tpu.compile import compile_ttnet_vgg_stem_lut, \
+        lut_ttnet_vgg_stem_apply
+    from scale_imagenet_tpu.compile.lut_store import load_luts, save_luts
+
+    m = get_model("TT_vf_19lv3_imgnet_xsmall_VGG", num_classes=10)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+    luts = compile_ttnet_vgg_stem_lut(params, state, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    ref, _ = m.apply(params, state, x)
+    got = lut_ttnet_vgg_stem_apply(luts, params, state, m.config, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fhe_alexnet_lut_forward():
     """The VGG-stem FHE variant (TT_FHE_XSMALL_vAlexnet.py:587-655,
     fhe_v3 block, T=0 always) serves from its compiled tables: LUT
