@@ -66,6 +66,20 @@ def test_cli_compile(tmp_path):
     assert os.listdir(os.path.join(out, dirs[0]))
 
 
+def test_cli_compile_fhe_and_vgg_stem(tmp_path):
+    """--mode compile covers every LUT-servable family: the FHE models
+    (whose n=4 tables are what TT_FHE_SMALL.py:322-431 extracts) and
+    the VGG16-stem ImageNet variant."""
+    for model, extra in [("TT_FHE_SMALL", ["--nfilter", "4",
+                                           "--tfilter", "4"]),
+                         ("TT_vf_19lv3_imgnet_xsmall_VGG", [])]:
+        out = str(tmp_path / f"artifacts_{model}")
+        summary = main(["--mode", "compile", "--model", model] + extra +
+                       ["--compile_out", out, "--root_dir", str(tmp_path)])
+        assert summary["total_gates"] > 0
+        assert os.path.exists(os.path.join(out, "summary.json"))
+
+
 @pytest.mark.parametrize("model", ["ttnet_imagenet_xsmall",
                                    "TT_vf_19lv3_imgnet_xsmall_VGG"])
 def test_cli_lut_serving(fake_imagenet, tmp_path, model):
