@@ -123,24 +123,34 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _coerce_model_arg(raw):
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    if raw.lower() in ("none", ""):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            continue
+    return raw
+
+
 def _parse_model_args(pairs):
-    """``KEY=VALUE`` strings -> kwargs dict, int/float/bool-coerced."""
+    """``KEY=VALUE`` strings -> kwargs dict, int/float/bool-coerced.
+    Comma-separated values become tuples with ``None`` entries allowed —
+    the reference's list-valued knobs (``--groups '1,None,4,None'``,
+    /root/reference/main.py:51,72-79) map to e.g.
+    ``--model_arg groups=1,None,4,None``."""
     out = {}
     for pair in pairs:
         key, sep, raw = pair.partition("=")
         if not sep or not key:
             raise SystemExit(f"--model_arg expects KEY=VALUE, got {pair!r}")
-        if raw.lower() in ("true", "false"):
-            out[key] = raw.lower() == "true"
-            continue
-        for cast in (int, float):
-            try:
-                out[key] = cast(raw)
-                break
-            except ValueError:
-                continue
+        if "," in raw:
+            out[key] = tuple(_coerce_model_arg(v) for v in raw.split(","))
         else:
-            out[key] = raw
+            out[key] = _coerce_model_arg(raw)
     return out
 
 

@@ -248,6 +248,10 @@ def test_model_arg_passthrough():
 
     assert _parse_model_args(["wbit=4", "lr=0.5", "flag=true", "s=abc"]) == {
         "wbit": 4, "lr": 0.5, "flag": True, "s": "abc"}
+    # list-valued knobs (the reference's --groups '1,None,4,None',
+    # /root/reference/main.py:51) arrive as tuples with None entries
+    assert _parse_model_args(["groups=1,None,4,None", "ks=3,2"]) == {
+        "groups": (1, None, 4, None), "ks": (3, 2)}
     cfg = parse_args(["--model", "resnet18", "--model_arg", "wbit=2",
                       "--model_arg", "abit=3"])
     model = build(cfg)
@@ -259,6 +263,18 @@ def test_model_arg_passthrough():
     assert build(cfg).config.nfilter == 4
     with pytest.raises(SystemExit):
         _parse_model_args(["noequals"])
+    # a list-valued --model_arg reaches a real config and runs: the
+    # TT_general head-disable semantics (groups[1] is None -> heads 1+3)
+    import jax
+    import jax.numpy as jnp
+    cfg = parse_args(["--model", "TT_general", "--model_arg", "p=12",
+                      "--model_arg", "groups=1,None,4,None"])
+    m = build(cfg)
+    assert m.config.groups == (1, None, 4, None)
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, m.config.image_size, m.config.image_size, 3))
+    logits, _ = m.apply(params, state, x)
+    assert logits.shape == (1, m.config.num_classes)
 
 
 @pytest.mark.parametrize("model", ["TT_FHE_SMALL", "TT_FHE_XSMALL_vAlexnet"])
