@@ -17,10 +17,8 @@ from .logic import (
 from .lut_eval import (
     compile_block_tt_lut,
     compile_multihead_lut,
-    compile_tt_fhe_alexnet_lut,
     compile_tt_fhe_lut,
     compile_ttnet_lut,
-    compile_ttnet_vgg_stem_lut,
     lut_block_tt_apply,
     lut_multihead_apply,
     lut_tt_fhe_alexnet_apply,
@@ -33,10 +31,8 @@ from .lut_store import load_luts, save_luts
 __all__ = [
     "compile_block_tt_lut",
     "compile_multihead_lut",
-    "compile_tt_fhe_alexnet_lut",
     "compile_tt_fhe_lut",
     "compile_ttnet_lut",
-    "compile_ttnet_vgg_stem_lut",
     "lut_block_tt_apply",
     "lut_multihead_apply",
     "lut_tt_fhe_alexnet_apply",

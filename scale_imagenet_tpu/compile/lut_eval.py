@@ -239,17 +239,31 @@ def compile_tt_fhe_lut(params, state, cfg) -> list[MultiHeadLUT]:
     ]
 
 
-def compile_tt_fhe_alexnet_lut(params, state, cfg) -> list[MultiHeadLUT]:
-    """Compile the VGG-stem FHE variant's block (fhe_v3, T=0 always)."""
-    return [compile_multihead_lut(params["block0"], state["block0"],
-                                  cfg.block_configs()[0])]
+def _bits(h, bits_dtype):
+    """Cast fresh {0,1} bits to the serving bit dtype: bf16 on TPU (bits,
+    pooled means and f32-accumulated indices are exactly representable,
+    halving layout traffic around the gather kernels), f32 elsewhere."""
+    if bits_dtype is None:
+        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    return h.astype(bits_dtype)
+
+
+def _convf_float(lut: MultiHeadLUT, params, state, block: str):
+    """(params, state) of a block's float fuse head when it must run as
+    the float conv it is (see lut_multihead_apply), else None."""
+    if lut.convf is not None and lut.convf.cfg.last:
+        return params[block]["convf"], state[block]["convf"]
+    return None
 
 
 def lut_tt_fhe_alexnet_apply(luts: list[MultiHeadLUT], params, state, cfg,
                              x, *, pallas: bool | None = None,
                              interpret: bool = False, bits_dtype=None):
     """LUT-mode forward of TT_FHE_XSMALL_vAlexnet: float VGG stem +
-    linear head, table-lookup block (mirrors ``tt_fhe_alexnet_apply``)."""
+    linear head, table-lookup block (mirrors ``tt_fhe_alexnet_apply``;
+    the fhe_valexnet block has no fuse head, so the walk ends at the raw
+    4-head concat).  Compile with ``compile_ttnet_lut``."""
     from ..layers.conv import conv2d
     from ..layers.linear import linear
     from ..layers.norm import batch_norm
@@ -259,28 +273,12 @@ def lut_tt_fhe_alexnet_apply(luts: list[MultiHeadLUT], params, state, cfg,
     h = jax.nn.relu(conv2d(params["vgg_conv1"], x, padding=1))
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
     h = max_pool(h, cfg.maxpool)
-    h = binarize01_act(h)
-    if bits_dtype is None:
-        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
-            else jnp.float32
-    h = h.astype(bits_dtype)
-    cf = None
-    if luts[0].convf is not None and luts[0].convf.cfg.last:
-        cf = (params["block0"]["convf"], state["block0"]["convf"])
-    h = lut_multihead_apply(luts[0], h, pallas=pallas, interpret=interpret,
-                            convf_float=cf)
+    h = _bits(binarize01_act(h), bits_dtype)
+    h = lut_multihead_apply(luts[0], h, pallas=pallas, interpret=interpret)
     h = flatten(h).astype(jnp.float32)
     h = linear(params["lin1"], h)
     h, _ = batch_norm(params["bn1"], state["bn1"], h, False)
     return linear(params["lin2"], h)
-
-
-def compile_ttnet_vgg_stem_lut(params, state, cfg) -> list[MultiHeadLUT]:
-    """Compile the VGG16-stem ImageNet variant's single xsmall stage
-    (TT_general_imagenet_v2_xsmall_alexnet.py:156-214; deterministic
-    Heaviside, so its tables are exact)."""
-    return [compile_multihead_lut(params["block0"], state["block0"],
-                                  cfg.block_config())]
 
 
 def lut_ttnet_vgg_stem_apply(luts: list[MultiHeadLUT], params, state, cfg,
@@ -288,7 +286,9 @@ def lut_ttnet_vgg_stem_apply(luts: list[MultiHeadLUT], params, state, cfg,
                              interpret: bool = False, bits_dtype=None):
     """LUT-mode forward of TT_vf_19lv3_imgnet_xsmall_VGG: frozen VGG
     stem + Classifier_scale in float, table-lookup stage (mirrors
-    ``ttnet_vgg_stem_apply``)."""
+    ``ttnet_vgg_stem_apply``; that block's fuse head is dead code in the
+    reference, so the walk ends at the raw concat).  Compile with
+    ``compile_ttnet_lut``."""
     from ..layers.conv import conv2d
     from ..layers.norm import batch_norm
     from ..layers.pool import avg_pool, flatten, max_pool
@@ -300,16 +300,8 @@ def lut_ttnet_vgg_stem_apply(luts: list[MultiHeadLUT], params, state, cfg,
     h = jax.nn.relu(conv2d(params["vgg_conv2"], h, padding=1))
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
     h = max_pool(h, 5)
-    h = binarize01_act(h)
-    if bits_dtype is None:
-        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
-            else jnp.float32
-    h = h.astype(bits_dtype)
-    cf = None
-    if luts[0].convf is not None and luts[0].convf.cfg.last:
-        cf = (params["block0"]["convf"], state["block0"]["convf"])
-    h = lut_multihead_apply(luts[0], h, pallas=pallas, interpret=interpret,
-                            convf_float=cf)
+    h = _bits(binarize01_act(h), bits_dtype)
+    h = lut_multihead_apply(luts[0], h, pallas=pallas, interpret=interpret)
     h = flatten(h).astype(jnp.float32)
     logits, _ = classifier_scale(params["classifier"], state["classifier"],
                                  h, False)
@@ -330,17 +322,12 @@ def lut_tt_fhe_apply(luts: list[MultiHeadLUT], params, state, cfg, x, *,
     spec = cfg.spec
     h = conv2d(params["stem_conv"], x, stride=2, padding=spec["pad"])
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
-    h = binarize01_act(h)                     # T == 0 (compile guard)
-    if bits_dtype is None:
-        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
-            else jnp.float32
-    h = h.astype(bits_dtype)
+    # T == 0 (compile guard)
+    h = _bits(binarize01_act(h), bits_dtype)
     for i, lut in enumerate(luts):
-        cf = None
-        if lut.convf is not None and lut.convf.cfg.last:
-            cf = (params[f"block{i}"]["convf"], state[f"block{i}"]["convf"])
-        h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret,
-                                convf_float=cf)
+        h = lut_multihead_apply(
+            lut, h, pallas=pallas, interpret=interpret,
+            convf_float=_convf_float(lut, params, state, f"block{i}"))
     logits, _ = tt_fhe_head(params, state, cfg, h.astype(jnp.float32),
                             training=False)
     return logits
@@ -365,15 +352,10 @@ def lut_ttnet_features(luts: list[MultiHeadLUT], params, state, cfg, x, *,
         h = _ap(x, 2)
         h = conv2d(params["stem_conv"], h, stride=2, padding=3)
     h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
-    h = binarize01_act(h)
-    if bits_dtype is None:
-        bits_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
-            else jnp.float32
-    h = h.astype(bits_dtype)
+    h = _bits(binarize01_act(h), bits_dtype)
     for i, lut in enumerate(luts):
-        cf = None
-        if last_via_conv and lut.convf is not None and lut.convf.cfg.last:
-            cf = (params[f"block{i}"]["convf"], state[f"block{i}"]["convf"])
+        cf = _convf_float(lut, params, state, f"block{i}") \
+            if last_via_conv else None
         h = lut_multihead_apply(lut, h, pallas=pallas, interpret=interpret,
                                 convf_float=cf)
     h = _ap(h, 2)

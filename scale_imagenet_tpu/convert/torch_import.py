@@ -151,6 +151,69 @@ def import_tt_fhe(sd: Mapping[str, np.ndarray], cfg):
     return params, state
 
 
+def import_tt_fhe_alexnet(sd: Mapping[str, np.ndarray], cfg):
+    """TT_FHE_XSMALL_vAlexnet state dict -> (params, state).  Layout
+    (TT_FHE_XSMALL_vAlexnet.py:619-652): features = [VGG conv, ReLU, BN,
+    MaxPool, act, block, Flatten, Classifier_scale(lin1/BN2/lin2)]."""
+    sd = strip_module_prefix(sd)
+    params = {"vgg_conv1": {
+        "weight": conv_weight_to_hwio(sd["features.0.weight"]),
+        "bias": jnp.array(sd["features.0.bias"])}}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.2")
+    bp, bs = {}, {}
+    for tname, ours in (("Block_conv1", "conv1"), ("Block_conv2", "conv2"),
+                        ("Block_conv3", "conv3"), ("Block_convf", "convf")):
+        if f"features.5.{tname}.conv1.weight" in sd:
+            bp[ours], bs[ours] = _block_tt(sd, f"features.5.{tname}")
+    params["block0"], state["block0"] = bp, bs
+    params["lin1"] = {"weight": linear_weight_to_io(
+        sd["features.7.lin1.weight"])}
+    params["bn1"], state["bn1"] = _bn(sd, "features.7.BN2")
+    params["lin2"] = {
+        "weight": linear_weight_to_io(sd["features.7.lin2.weight"]),
+        "bias": jnp.array(sd["features.7.lin2.bias"])}
+    return params, state
+
+
+def import_ttnet_vgg_stem(sd: Mapping[str, np.ndarray], cfg):
+    """TT_vf_19lv3_imgnet_xsmall_VGG state dict -> (params, state).
+    Layout (TT_general_imagenet_v2_xsmall_alexnet.py:177-210): features =
+    [AvgPool, conv, ReLU, conv, ReLU, BN, MaxPool, act, block, Flatten,
+    Classifier_scale(lin1/BN2/Polynome_ACT/lin2; the poly is
+    parameter-free)]."""
+    sd = strip_module_prefix(sd)
+    params = {
+        "vgg_conv1": {
+            "weight": conv_weight_to_hwio(sd["features.1.weight"]),
+            "bias": jnp.array(sd["features.1.bias"])},
+        "vgg_conv2": {
+            "weight": conv_weight_to_hwio(sd["features.3.weight"]),
+            "bias": jnp.array(sd["features.3.bias"])},
+    }
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.5")
+    bp, bs = {}, {}
+    # NO Block_convf: that file's block constructs one but its forward
+    # never applies it (TT_general_imagenet_v2_xsmall_alexnet.py:149-153)
+    for tname, ours in (("Block_conv1", "conv1"), ("Block_conv2", "conv2"),
+                        ("Block_conv3", "conv3")):
+        if f"features.8.{tname}.conv1.weight" in sd:
+            bp[ours], bs[ours] = _block_tt(sd, f"features.8.{tname}")
+    params["block0"], state["block0"] = bp, bs
+    cls_bn_p, cls_bn_s = _bn(sd, "features.10.BN2")
+    params["classifier"] = {
+        "lin1": {"weight": linear_weight_to_io(
+            sd["features.10.lin1.weight"])},
+        "bn": cls_bn_p,
+        "lin2": {
+            "weight": linear_weight_to_io(sd["features.10.lin2.weight"]),
+            "bias": jnp.array(sd["features.10.lin2.bias"])},
+    }
+    state["classifier"] = {"bn": cls_bn_s}
+    return params, state
+
+
 def import_mobilenet_v2_tt(sd: Mapping[str, np.ndarray], cfg):
     """mobilenet_v2_TT state dict -> (params, state) (TT.py:309-372)."""
     sd = strip_module_prefix(sd)
@@ -231,7 +294,9 @@ def import_ttnet_v1(sd: Mapping[str, np.ndarray], cfg):
 # registry-name -> importer
 IMPORTERS = {
     "ttnet_imagenet": import_ttnet_imagenet,
+    "ttnet_vgg_stem": import_ttnet_vgg_stem,
     "tt_fhe": import_tt_fhe,
+    "tt_fhe_alexnet": import_tt_fhe_alexnet,
     "mobilenet_v2_tt": import_mobilenet_v2_tt,
     "resnet": import_resnet,
     "ttnet_v1": import_ttnet_v1,

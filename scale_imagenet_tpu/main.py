@@ -171,15 +171,23 @@ def load_params(cfg, model):
     if cfg.ckpt.endswith(".pth") or cfg.ckpt.endswith(".t7"):
         from .convert import torch_import as ti
 
-        family = {
+        importers = {
             "TTnetImageNetConfig": ti.import_ttnet_imagenet,
+            "TTnetVGGStemConfig": ti.import_ttnet_vgg_stem,
             "TTFHEConfig": ti.import_tt_fhe,
+            "TTFHEAlexnetConfig": ti.import_tt_fhe_alexnet,
             "MobilenetV2TTConfig": ti.import_mobilenet_v2_tt,
             "ResNetConfig": ti.import_resnet,
             "TTnetV1Config": ti.import_ttnet_v1,
-        }[type(model.config).__name__]
+        }
+        name = type(model.config).__name__
+        if name not in importers:
+            raise ValueError(
+                f"no .pth importer for the {name} family; convert the "
+                "checkpoint with scale_imagenet_tpu.convert.torch_import "
+                "or load a native checkpoint dir instead")
         sd = ti.load_torch_state_dict(cfg.ckpt)
-        return family(sd, model.config)
+        return importers[name](sd, model.config)
     payload = load_checkpoint(cfg.ckpt)
     return payload["params"], payload["state"]
 
@@ -195,11 +203,12 @@ def _lut_family(config):
     if isinstance(config, TTnetImageNetConfig):
         return C.compile_ttnet_lut, C.lut_ttnet_apply
     if isinstance(config, TTnetVGGStemConfig):
-        return C.compile_ttnet_vgg_stem_lut, C.lut_ttnet_vgg_stem_apply
+        # the generic block walk compiles these single-block variants too
+        return C.compile_ttnet_lut, C.lut_ttnet_vgg_stem_apply
     if isinstance(config, TTFHEConfig):
         return C.compile_tt_fhe_lut, C.lut_tt_fhe_apply
     if isinstance(config, TTFHEAlexnetConfig):
-        return C.compile_tt_fhe_alexnet_lut, C.lut_tt_fhe_alexnet_apply
+        return C.compile_ttnet_lut, C.lut_tt_fhe_alexnet_apply
     raise ValueError("--lut serving supports the ttnet_imagenet and "
                      f"TT_FHE families, not {type(config).__name__}")
 

@@ -92,11 +92,38 @@ def _fixup_fhe_v2(xw: int, out1w: int) -> dict:
     return {}
 
 
+def _fixup_v2small_alexnet(xw: int, out1w: int) -> dict:
+    """TT_general_imagenet_v2_xsmall_alexnet.py:102-144 — the v2small
+    chain plus an x==11 row (the AvgPool4+MaxPool5 stem feeds 11^2)."""
+    if xw == 11:
+        return {3: _PAD2, 4: _PAD2}
+    return _fixup_v2small(xw, out1w)
+
+
+def _fixup_fhe_valexnet(xw: int, out1w: int) -> dict:
+    """TT_FHE_XSMALL_vAlexnet.py:516-570 — that file's OWN v3 block
+    ((3,2)/(2,3) depthwise heads, raw-x 4th head, no convf); its
+    if-chain differs from TT_FHE_SMALL's v3."""
+    _PAD_B2 = (0, 0, 0, 2)
+    _PAD_R2 = (0, 2, 0, 0)
+    if xw == 16 and out1w == 17:
+        return {3: _PAD2, 4: _PAD2}
+    if xw == 4 and out1w == 4:
+        return {1: _PAD_B2, 2: _PAD_R2}
+    if xw == 10:
+        return {1: _PAD21, 2: _PAD31, 3: _PAD2, 4: _PAD2}
+    if xw in (17, 9, 8, 6):
+        return {3: _PAD2, 4: _PAD2}
+    return {}
+
+
 FIXUP_RULES = {
     "v2small": _fixup_v2small,  # also the xsmall table (identical if-chain)
+    "v2small_alexnet": _fixup_v2small_alexnet,
     "v2": _fixup_v2,
     "fhe_v3": _fixup_fhe_v3,
     "fhe_v2": _fixup_fhe_v2,
+    "fhe_valexnet": _fixup_fhe_valexnet,
 }
 
 

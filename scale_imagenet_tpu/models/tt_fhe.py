@@ -46,6 +46,12 @@ FHE_BLOCK_VARIANTS = {
     # xsmall: v3 heads, raw concat output (no fused block)
     "fhe_xsmall": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
                        groupvf=4, out_mult=4, fixup="fhe_v3", fuse=False),
+    # the vAlexnet file's OWN v3 block (TT_FHE_XSMALL_vAlexnet.py:434-489):
+    # (3,2)/(2,3) depthwise heads (cpg 1), k=1 head at cpg 8, raw-x 4th
+    # head, NO convf — it shares only the class name with TT_FHE_SMALL's v3
+    "fhe_valexnet": dict(k12=((3, 2), (2, 3)), pad12=(1, 1),
+                         groups=(1, 1, 8, 1), groupvf=4, out_mult=4,
+                         fixup="fhe_valexnet", fuse=False),
 }
 
 # per-model specs; classifier styles:
@@ -217,9 +223,10 @@ def tt_fhe_head(params, state, cfg: TTFHEConfig, x, training=False,
 
 # ---------------------------------------------------------------------------
 # TT_FHE_XSMALL_vAlexnet (TT_FHE_XSMALL_vAlexnet.py:587-655): frozen VGG16
-# conv1 stem -> BN -> MaxPool(3) -> Heaviside -> one v3 block ->
-# Classifier_scale(fc, 10, 100).  maxpool-size ablations in the reference
-# comment: 3 -> 74.1%, 5 -> 71.86%, 4 -> 72.55%.
+# conv1 stem -> BN -> MaxPool(3) -> Heaviside -> one file-local v3 block
+# (fhe_valexnet: no convf, raw 4-head concat) -> Classifier_scale(fc, 10,
+# 100).  maxpool-size ablations in the reference comment: 3 -> 74.1%,
+# 5 -> 71.86%, 4 -> 72.55%.
 
 @dataclasses.dataclass(frozen=True)
 class TTFHEAlexnetConfig:
@@ -232,7 +239,7 @@ class TTFHEAlexnetConfig:
     def block_configs(self):
         return [MultiHeadConfig(
             in_planes=self.p, out_planes=self.p, stride=1, last=False,
-            **FHE_BLOCK_VARIANTS["fhe_v3"])]
+            **FHE_BLOCK_VARIANTS["fhe_valexnet"])]
 
     @property
     def fcsize(self):

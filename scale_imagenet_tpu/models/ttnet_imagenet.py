@@ -167,9 +167,12 @@ def ttnet_imagenet_apply(params, state, cfg: TTnetImageNetConfig, x,
 # ---------------------------------------------------------------------------
 # VGG16-stem variant (TT_general_imagenet_v2_xsmall_alexnet.py:156-214):
 # AvgPool(4) -> frozen VGG16 conv1/conv2 (3x3, 64ch, ReLU) -> BN ->
-# MaxPool(5) -> Heaviside -> one xsmall multi-head stage (last=True) ->
-# Flatten -> Classifier_scale.  The reference downloads pretrained VGG16;
-# in this zero-egress build the stem initializes randomly and the converter
+# MaxPool(5) -> Heaviside -> one xsmall multi-head stage -> Flatten ->
+# Classifier_scale.  That file's OWN block variant applies: its forward
+# returns the RAW 4-head concat (the constructed Block_convf is dead code
+# and the interleave transpose is commented out, :149-153), and its fixup
+# chain adds an x==11 row.  The reference downloads pretrained VGG16; in
+# this zero-egress build the stem initializes randomly and the converter
 # can load VGG weights from any torch checkpoint.
 
 @dataclasses.dataclass(frozen=True)
@@ -181,8 +184,10 @@ class TTnetVGGStemConfig:
 
     def block_config(self) -> MultiHeadConfig:
         return MultiHeadConfig(in_planes=self.p, out_planes=self.p,
-                               stride=1, last=True,
-                               **BLOCK_VARIANTS["xsmall"])
+                               stride=1, last=False,
+                               **{**BLOCK_VARIANTS["xsmall"],
+                                  "fixup": "v2small_alexnet",
+                                  "fuse": False})
 
     def block_configs(self) -> list[MultiHeadConfig]:
         # plural alias: the LUT archive loader (compile/lut_store.py)

@@ -45,6 +45,29 @@ def enable_reference_imports():
         tv.models = _stub("torchvision.models")
         tv.utils = _stub("torchvision.utils")
 
+        # the VGG-stem models (TT_FHE_XSMALL_vAlexnet.py:594,
+        # TT_general_imagenet_v2_xsmall_alexnet.py:164) pull
+        # vgg16(pretrained=True).features[0..3] — in this zero-egress
+        # environment return randomly-initialized REAL layers with the
+        # VGG16 head layout so the classes instantiate and parity runs
+        def _vgg16(pretrained=False, **_k):
+            import torch.nn as nn
+
+            return types.SimpleNamespace(features=nn.Sequential(
+                nn.Conv2d(3, 64, 3, padding=1), nn.ReLU(inplace=True),
+                nn.Conv2d(64, 64, 3, padding=1), nn.ReLU(inplace=True),
+                nn.MaxPool2d(2)))
+
+        def _densenet121(pretrained=False, **_k):
+            import torch.nn as nn
+
+            # instantiated-then-discarded (TT_FHE_XSMALL_vAlexnet.py:597)
+            return types.SimpleNamespace(features=nn.Sequential(
+                nn.Conv2d(3, 64, 7, stride=2, padding=3)))
+
+        tv.models.vgg16 = _vgg16
+        tv.models.densenet121 = _densenet121
+
     if "prettytable" not in sys.modules:
         class _PT:
             def __init__(self, *a, **k):

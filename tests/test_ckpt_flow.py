@@ -59,6 +59,55 @@ def test_cli_eval_with_torch_ckpt(ckpt_and_data, tmp_path):
     assert 0.0 <= top1 <= 100.0
 
 
+def test_cli_torch_ckpt_lut_serving_valexnet(tmp_path):
+    """The README flow the LUT families advertise: a reference-format
+    .pth for TT_FHE_XSMALL_vAlexnet loads through --ckpt and serves in
+    --lut mode with metrics equal to conv mode."""
+    import argparse
+
+    from PIL import Image
+
+    from models.TT_FHE_XSMALL_vAlexnet import TT_FHE_XSMALL_vAlexnet
+    from scale_imagenet_tpu.main import main
+
+    cfg = argparse.Namespace(nfilter=8, tfilter=8)
+    torch.manual_seed(5)
+    tm = TT_FHE_XSMALL_vAlexnet(cfg).eval()
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    torch.save({"model_state_dict": sd}, tmp_path / "last.pth")
+
+    rng = np.random.default_rng(6)
+    for c in range(2):
+        d = tmp_path / "data" / "val" / f"c{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                         dtype=np.uint8)).save(
+                d / f"i{i}.png")
+
+    args = ["--mode", "eval", "--data_dir", str(tmp_path / "data"),
+            "--ckpt", str(tmp_path / "last.pth"),
+            "--model", "TT_FHE_XSMALL_vAlexnet",
+            "--eval_batch_size", "3", "--num_workers", "1",
+            "--root_dir", str(tmp_path), "--mesh_data", "1"]
+    conv = main(args)
+    lut = main(args + ["--lut"])
+    assert lut == conv
+
+
+def test_torch_ckpt_unmapped_family_error(tmp_path):
+    """A .pth with a family that has no importer fails with a clear
+    message, not a raw KeyError."""
+    torch.save({"model_state_dict": {}}, tmp_path / "x.pth")
+    from scale_imagenet_tpu.main import main
+
+    with pytest.raises(ValueError, match="no .pth importer"):
+        main(["--mode", "eval", "--data_dir", str(tmp_path),
+              "--ckpt", str(tmp_path / "x.pth"),
+              "--model", "model_general", "--eval_batch_size", "2",
+              "--root_dir", str(tmp_path), "--mesh_data", "1"])
+
+
 def test_f32_prediction_agreement(ckpt_and_data):
     """argmax parity torch-vs-jax in plain float32 on real decoded JPEGs —
     the practical form of checkpoint accuracy parity."""

@@ -267,10 +267,12 @@ def test_model_arg_passthrough():
     # TT_general head-disable semantics (groups[1] is None -> heads 1+3)
     import jax
     import jax.numpy as jnp
-    cfg = parse_args(["--model", "TT_general", "--model_arg", "p=12",
+    cfg = parse_args(["--model", "TT_general", "--model_arg", "nfilter=3",
+                      "--model_arg", "tfilter=4",
                       "--model_arg", "groups=1,None,4,None"])
     m = build(cfg)
     assert m.config.groups == (1, None, 4, None)
+    assert m.config.nfilter == 3 and m.config.tfilter == 4
     params, state = m.init(jax.random.PRNGKey(0))
     x = jnp.zeros((1, m.config.image_size, m.config.image_size, 3))
     logits, _ = m.apply(params, state, x)

@@ -126,36 +126,39 @@ def test_fhe_model_lut_forward():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_vgg_stem_lut_forward():
+def test_vgg_stem_lut_forward(tmp_path):
     """The VGG16-stem ImageNet variant (TT_general_imagenet_v2_xsmall_
     alexnet.py:156-214) serves from its compiled tables, including the
     save/load archive path: LUT logits match the float model's."""
-    from scale_imagenet_tpu.compile import compile_ttnet_vgg_stem_lut, \
-        lut_ttnet_vgg_stem_apply
+    from scale_imagenet_tpu.compile import lut_ttnet_vgg_stem_apply
     from scale_imagenet_tpu.compile.lut_store import load_luts, save_luts
 
     m = get_model("TT_vf_19lv3_imgnet_xsmall_VGG", num_classes=10)
     params, state = m.init(jax.random.PRNGKey(0))
     state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
-    luts = compile_ttnet_vgg_stem_lut(params, state, m.config)
+    luts = compile_ttnet_lut(params, state, m.config)
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
     ref, _ = m.apply(params, state, x)
     got = lut_ttnet_vgg_stem_apply(luts, params, state, m.config, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+    path = str(tmp_path / "luts.npz")
+    save_luts(path, luts)
+    loaded = load_luts(path, m.config)
+    got2 = lut_ttnet_vgg_stem_apply(loaded, params, state, m.config, x)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
 
 
 def test_fhe_alexnet_lut_forward():
-    """The VGG-stem FHE variant (TT_FHE_XSMALL_vAlexnet.py:587-655,
-    fhe_v3 block, T=0 always) serves from its compiled tables: LUT
-    logits match the float model's eval logits."""
-    from scale_imagenet_tpu.compile import compile_tt_fhe_alexnet_lut, \
-        lut_tt_fhe_alexnet_apply
+    """The VGG-stem FHE variant (TT_FHE_XSMALL_vAlexnet.py:587-655; its
+    file-local fhe_valexnet block, T=0 always) serves from its compiled
+    tables: LUT logits match the float model's eval logits."""
+    from scale_imagenet_tpu.compile import lut_tt_fhe_alexnet_apply
 
     m = get_model("TT_FHE_XSMALL_vAlexnet")
     params, state = m.init(jax.random.PRNGKey(0))
     state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
-    luts = compile_tt_fhe_alexnet_lut(params, state, m.config)
+    luts = compile_ttnet_lut(params, state, m.config)
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
     ref, _ = m.apply(params, state, x)
     got = lut_tt_fhe_alexnet_apply(luts, params, state, m.config, x)

@@ -97,6 +97,64 @@ def test_mobilenet_v2_tt_parity(x64):
     assert m.config.fcsize == tmodel.features[-1].in_features
 
 
+def test_tt_fhe_alexnet_parity(x64):
+    """TT_FHE_XSMALL_vAlexnet (VGG16-conv1 stem, fhe_v3 block) vs the
+    reference with converted weights — the stubbed torchvision returns
+    randomly-initialized real VGG layers (zero-egress environment)."""
+    from models.TT_FHE_XSMALL_vAlexnet import TT_FHE_XSMALL_vAlexnet
+
+    cfg = argparse.Namespace(nfilter=8, tfilter=8)
+    torch.manual_seed(3)
+    tmodel = TT_FHE_XSMALL_vAlexnet(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_tt_fhe_alexnet
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_FHE_XSMALL_vAlexnet")
+    params, state = import_tt_fhe_alexnet(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[7].lin1.in_features
+
+
+def test_ttnet_vgg_stem_parity(x64):
+    """TT_vf_19lv3_imgnet_xsmall_VGG (AvgPool4 + VGG16 conv1/conv2 stem,
+    one xsmall last-stage) vs the reference with converted weights at
+    224^2 — exercises the shape-11 pad-fixup row of the v2small table."""
+    from models.TT_general_imagenet_v2_xsmall_alexnet import \
+        TT_vf_19lv3_imgnet_xsmall_VGG
+
+    cfg = argparse.Namespace(nfilter=8, tfilter=8,
+                             groups=[1, None, 4, None])
+    torch.manual_seed(4)
+    tmodel = TT_vf_19lv3_imgnet_xsmall_VGG(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_ttnet_vgg_stem
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_vf_19lv3_imgnet_xsmall_VGG")
+    params, state = import_ttnet_vgg_stem(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-1, 1, (2, 3, 224, 224))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[10].lin1.in_features
+
+
 def test_dorefa_resnet18_parity(x64):
     from models.resnet_imagenet import resnet18
 
