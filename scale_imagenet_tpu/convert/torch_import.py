@@ -123,31 +123,48 @@ def import_ttnet_imagenet(sd: Mapping[str, np.ndarray], cfg):
 
 
 def import_tt_fhe(sd: Mapping[str, np.ndarray], cfg):
-    """TT_FHE_SMALL-family state dict -> (params, state).  Layout
-    (TT_FHE_SMALL.py:592-621): features = [conv, bn, act, block, pool,
-    flatten, lin, bn, lin, bn]."""
+    """TT_FHE-family state dict -> (params, state).  Layout
+    (TT_FHE_SMALL.py:592-621): features = [conv, bn, act, block*, pool,
+    flatten, classifier] where the classifier is either flat sequential
+    entries (lin, bn, lin[, bn] — the SMALL/small styles) or a
+    Classifier_scale submodule with lin1/BN2/lin2 attributes (the
+    XSMALL/ref styles, TT_FHE_XSMALL.py:632-652)."""
     sd = strip_module_prefix(sd)
     params = {"stem_conv": {
         "weight": conv_weight_to_hwio(sd["features.0.weight"])}}
     state = {}
     params["stem_bn"], state["stem_bn"] = _bn(sd, "features.1")
-    bp, bs = {}, {}
-    for tname, ours in (("Block_conv1", "conv1"), ("Block_conv2", "conv2"),
-                        ("Block_conv3", "conv3"), ("Block_convf", "convf")):
-        if f"features.3.{tname}.conv1.weight" in sd:
-            bp[ours], bs[ours] = _block_tt(sd, f"features.3.{tname}")
-    params["block0"], state["block0"] = bp, bs
+    i, b = 3, 0
+    while f"features.{i}.Block_conv1.conv1.weight" in sd:
+        bp, bs = {}, {}
+        for tname, ours in (("Block_conv1", "conv1"),
+                            ("Block_conv2", "conv2"),
+                            ("Block_conv3", "conv3"),
+                            ("Block_convf", "convf")):
+            if f"features.{i}.{tname}.conv1.weight" in sd:
+                bp[ours], bs[ours] = _block_tt(sd, f"features.{i}.{tname}")
+        params[f"block{b}"], state[f"block{b}"] = bp, bs
+        i, b = i + 1, b + 1
+    cls = i + 2  # skip pool + flatten
+    if f"features.{cls}.lin1.weight" in sd:   # Classifier_scale submodule
+        params["lin1"] = {"weight": linear_weight_to_io(
+            sd[f"features.{cls}.lin1.weight"])}
+        params["bn1"], state["bn1"] = _bn(sd, f"features.{cls}.BN2")
+        params["lin2"] = {
+            "weight": linear_weight_to_io(sd[f"features.{cls}.lin2.weight"]),
+            "bias": jnp.array(sd[f"features.{cls}.lin2.bias"])}
+        return params, state
     params["lin1"] = {"weight": linear_weight_to_io(
-        sd["features.6.weight"])}
-    if "features.6.bias" in sd:
-        params["lin1"]["bias"] = jnp.array(sd["features.6.bias"])
-    params["bn1"], state["bn1"] = _bn(sd, "features.7")
+        sd[f"features.{cls}.weight"])}
+    if f"features.{cls}.bias" in sd:
+        params["lin1"]["bias"] = jnp.array(sd[f"features.{cls}.bias"])
+    params["bn1"], state["bn1"] = _bn(sd, f"features.{cls + 1}")
     params["lin2"] = {"weight": linear_weight_to_io(
-        sd["features.8.weight"])}
-    if "features.8.bias" in sd:
-        params["lin2"]["bias"] = jnp.array(sd["features.8.bias"])
-    if "features.9.weight" in sd:
-        params["bn2"], state["bn2"] = _bn(sd, "features.9")
+        sd[f"features.{cls + 2}.weight"])}
+    if f"features.{cls + 2}.bias" in sd:
+        params["lin2"]["bias"] = jnp.array(sd[f"features.{cls + 2}.bias"])
+    if f"features.{cls + 3}.weight" in sd:
+        params["bn2"], state["bn2"] = _bn(sd, f"features.{cls + 3}")
     return params, state
 
 

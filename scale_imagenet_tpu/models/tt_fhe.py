@@ -73,8 +73,10 @@ FHE_MODELS = {
     "TT_FHE_XSMALL": dict(variant="fhe_xsmall", k=5, pad=2, T=0.0,
                           T_block=0.0, pool="max", classifier="scale",
                           poly=False),
+    # TT_FHE_ref.py's own Classifier_scale comments the Polynome_ACT out
+    # (TT_FHE_ref.py:642-651) -> no poly, plain lin->BN->lin
     "TT_FHE_ref": dict(variant=None, k=5, pad=2, T=0.0, T_block=0.0,
-                       pool="max", classifier="scale", poly=True),
+                       pool="max", classifier="scale", poly=False),
     "TT_FHE_SMALL_polyhead": dict(variant="fhe_v3", k=5, pad=2, T=0.0,
                                   T_block=0.0, pool="max",
                                   classifier="scale_new", poly=True,

@@ -155,6 +155,118 @@ def test_ttnet_vgg_stem_parity(x64):
     assert m.config.fcsize == tmodel.features[10].lin1.in_features
 
 
+def test_tt_fhe_xsmall_parity(x64):
+    """TT_FHE_XSMALL (conv5 stem, one v3 block returning the RAW 4-head
+    concat, Classifier_scale submodule head) vs the reference with
+    converted weights."""
+    from models.TT_FHE_XSMALL import TT_FHE_XSMALL
+
+    cfg = argparse.Namespace(nfilter=4, tfilter=4)
+    torch.manual_seed(6)
+    tmodel = TT_FHE_XSMALL(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import import_tt_fhe
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_FHE_XSMALL", nfilter=4, tfilter=4)
+    params, state = import_tt_fhe(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[6].lin1.in_features
+
+
+def test_tt_fhe_ref_parity(x64):
+    """TT_FHE_ref (the stem-only ablation; its Classifier_scale's poly
+    is commented out in the reference, TT_FHE_ref.py:642-651) vs the
+    reference with converted weights."""
+    from models.TT_FHE_ref import TT_FHE_ref
+
+    cfg = argparse.Namespace(nfilter=4, tfilter=4)
+    torch.manual_seed(7)
+    tmodel = TT_FHE_ref(cfg).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import import_tt_fhe
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_FHE_ref", nfilter=4, tfilter=4)
+    params, state = import_tt_fhe(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[5].lin1.in_features
+
+
+@pytest.mark.parametrize("refmod,refcls,ours", [
+    ("TT_small", "mobilenet_v2_TT_small", "mobilenet_v2_tt_small"),
+    ("TT_small_n64", "mobilenet_v2_TT_small_n64",
+     "mobilenet_v2_tt_small_n64"),
+    ("TT_small_n64bis", "mobilenet_v2_TT_small_n64bis",
+     "mobilenet_v2_tt_small_n64bis"),
+])
+def test_mobilenet_small_ablation_parity(x64, refmod, refcls, ours):
+    """The TT_small* ablation files (each with its own head recipe) vs
+    the reference with converted weights."""
+    import importlib
+
+    tcls = getattr(importlib.import_module(f"models.{refmod}"), refcls)
+    torch.manual_seed(8)
+    tmodel = tcls().double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_mobilenet_v2_tt
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model(ours)
+    params, state = import_mobilenet_v2_tt(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+    assert m.config.fcsize == tmodel.features[-1].in_features
+
+
+def test_dorefa_resnet50_parity(x64):
+    """resnet50 — the Bottleneck block path (resnet_imagenet.py), which
+    resnet18's BasicBlock parity does not cover."""
+    from models.resnet_imagenet import resnet50
+
+    torch.manual_seed(9)
+    tmodel = resnet50(wbit=4, abit=4).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import import_resnet
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("resnet50", wbit=4, abit=4)
+    params, state = import_resnet(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(14)
+    x = rng.uniform(-1, 1, (1, 3, 224, 224))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
 def test_dorefa_resnet18_parity(x64):
     from models.resnet_imagenet import resnet18
 
