@@ -258,6 +258,25 @@ def import_mobilenet_v2_tt(sd: Mapping[str, np.ndarray], cfg):
     return params, state
 
 
+def import_mobilenet_v1_tt(sd: Mapping[str, np.ndarray], cfg):
+    """mobilenet_v1_TT state dict -> (params, state) (TT.py:187-214):
+    features = [conv, bn, act, (block, act)*12, block, pool, flatten,
+    fc] — a Binarize01Act between blocks except after the last."""
+    sd = strip_module_prefix(sd)
+    params = {"stem_conv": {
+        "weight": conv_weight_to_hwio(sd["features.0.weight"])}}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.1")
+    n = len(cfg.block_configs())
+    for i in range(n):
+        params[f"block{i}"], state[f"block{i}"] = _block_tt(
+            sd, f"features.{3 + 2 * i}")
+    fc = 3 + 2 * (n - 1) + 3   # last block + pool + flatten -> linear
+    params["fc"] = {"weight": linear_weight_to_io(sd[f"features.{fc}.weight"]),
+                    "bias": jnp.array(sd[f"features.{fc}.bias"])}
+    return params, state
+
+
 def import_resnet(sd: Mapping[str, np.ndarray], cfg):
     """DoReFa ResNet state dict -> (params, state)
     (resnet_imagenet.py:117-173)."""
@@ -314,6 +333,7 @@ IMPORTERS = {
     "ttnet_vgg_stem": import_ttnet_vgg_stem,
     "tt_fhe": import_tt_fhe,
     "tt_fhe_alexnet": import_tt_fhe_alexnet,
+    "mobilenet_v1_tt": import_mobilenet_v1_tt,
     "mobilenet_v2_tt": import_mobilenet_v2_tt,
     "resnet": import_resnet,
     "ttnet_v1": import_ttnet_v1,

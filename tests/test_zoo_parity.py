@@ -243,6 +243,33 @@ def test_mobilenet_small_ablation_parity(x64, refmod, refcls, ours):
     assert m.config.fcsize == tmodel.features[-1].in_features
 
 
+def test_mobilenet_v1_tt_parity(x64):
+    """mobilenet_v1_TT (the 13-stage Block_resnet chain with inter-block
+    Heavisides, TT.py:187-214) vs the reference with converted weights."""
+    import argparse
+
+    from models.TT import mobilenet_v1_TT
+
+    torch.manual_seed(10)
+    tmodel = mobilenet_v1_TT(argparse.Namespace()).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_mobilenet_v1_tt
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("mobilenet_v1_tt")
+    params, state = import_mobilenet_v1_tt(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(15)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
 def test_dorefa_resnet50_parity(x64):
     """resnet50 — the Bottleneck block path (resnet_imagenet.py), which
     resnet18's BasicBlock parity does not cover."""
