@@ -258,6 +258,49 @@ def import_mobilenet_v2_tt(sd: Mapping[str, np.ndarray], cfg):
     return params, state
 
 
+def _conv_maybe_masked(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    p = {"weight": conv_weight_to_hwio(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.array(sd[f"{prefix}.bias"])
+    if f"{prefix}.weight_mask" in sd:
+        p["weight_mask"] = conv_weight_to_hwio(sd[f"{prefix}.weight_mask"])
+    return p
+
+
+def import_model_general(sd: Mapping[str, np.ndarray], cfg):
+    """model_general state dict -> (params, state) (TT.py:16-123):
+    features = [stem conv, bn, act, (conv, bn, relu, conv, bn, act) per
+    block, flatten, lin, BatchNormStatsCallbak] — the stats BN is absent
+    when the model was built with g_remove_last_bn."""
+    sd = strip_module_prefix(sd)
+    params = {"stem_conv": _conv_maybe_masked(sd, "features.0")}
+    state = {}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, "features.1")
+    nb = len(cfg.filters)
+    for i in range(nb):
+        base = 3 + 6 * i
+        params[f"conv{i}a"] = _conv_maybe_masked(sd, f"features.{base}")
+        params[f"bn{i}a"], state[f"bn{i}a"] = _bn(sd, f"features.{base + 1}")
+        params[f"conv{i}b"] = _conv_maybe_masked(sd, f"features.{base + 3}")
+        params[f"bn{i}b"], state[f"bn{i}b"] = _bn(sd, f"features.{base + 4}")
+    lin = 4 + 6 * nb
+    fc = {"weight": linear_weight_to_io(sd[f"features.{lin}.weight"])}
+    if f"features.{lin}.bias" in sd:
+        fc["bias"] = jnp.array(sd[f"features.{lin}.bias"])
+    if f"features.{lin}.weight_mask" in sd:
+        fc["weight_mask"] = linear_weight_to_io(
+            sd[f"features.{lin}.weight_mask"])
+    params["fc"] = fc
+    if f"features.{lin + 1}.weight" in sd:
+        params["head_bn"] = {
+            "weight": jnp.array(sd[f"features.{lin + 1}.weight"]),
+            "bias": jnp.array(sd[f"features.{lin + 1}.bias"])}
+        state["head_bn"] = {
+            "running_mean": jnp.array(sd[f"features.{lin + 1}.running_mean"]),
+            "running_var": jnp.array(sd[f"features.{lin + 1}.running_var"])}
+    return params, state
+
+
 def import_mobilenet_v1_tt(sd: Mapping[str, np.ndarray], cfg):
     """mobilenet_v1_TT state dict -> (params, state) (TT.py:187-214):
     features = [conv, bn, act, (block, act)*12, block, pool, flatten,
@@ -333,6 +376,7 @@ IMPORTERS = {
     "ttnet_vgg_stem": import_ttnet_vgg_stem,
     "tt_fhe": import_tt_fhe,
     "tt_fhe_alexnet": import_tt_fhe_alexnet,
+    "model_general": import_model_general,
     "mobilenet_v1_tt": import_mobilenet_v1_tt,
     "mobilenet_v2_tt": import_mobilenet_v2_tt,
     "resnet": import_resnet,

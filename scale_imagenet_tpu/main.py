@@ -176,6 +176,7 @@ def load_params(cfg, model):
             "TTnetVGGStemConfig": ti.import_ttnet_vgg_stem,
             "TTFHEConfig": ti.import_tt_fhe,
             "TTFHEAlexnetConfig": ti.import_tt_fhe_alexnet,
+            "ModelGeneralConfig": ti.import_model_general,
             "MobilenetV1TTConfig": ti.import_mobilenet_v1_tt,
             "MobilenetV2TTConfig": ti.import_mobilenet_v2_tt,
             "ResNetConfig": ti.import_resnet,

@@ -243,6 +243,38 @@ def test_mobilenet_small_ablation_parity(x64, refmod, refcls, ours):
     assert m.config.fcsize == tmodel.features[-1].in_features
 
 
+def test_model_general_parity(x64):
+    """model_general (TT.py:16-123) at its documented defaults: ter
+    stem, one 48-ch block, bin final layer, scalar-scale stats BN."""
+    import argparse
+
+    from models.TT import model_general
+
+    args = argparse.Namespace(
+        dataset="CIFAR10", type_weigths_preprocessing_CNN="ter",
+        preprocessing_CNN=[48, 3, 2], filters=[48], amplifications=[60],
+        kernelsizes=[3], strides=[2], paddings=[0], groups=[48],
+        type_weigths_final_LR="bin", g_remove_last_bn="False")
+    torch.manual_seed(11)
+    tmodel = model_general(args).double().eval()
+    tmodel.eval_with_bn = False
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import import_model_general
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("model_general")
+    params, state = import_model_general(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(16)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
 def test_mobilenet_v1_tt_parity(x64):
     """mobilenet_v1_TT (the 13-stage Block_resnet chain with inter-block
     Heavisides, TT.py:187-214) vs the reference with converted weights."""
