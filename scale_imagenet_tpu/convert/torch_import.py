@@ -301,6 +301,66 @@ def import_model_general(sd: Mapping[str, np.ndarray], cfg):
     return params, state
 
 
+def _float_cell(sd: Mapping[str, np.ndarray], prefix: str):
+    """Block_resnet / Block_resnet_big float cell
+    (TT_general_imagenet.py:20-98) — conv1b/bn1b present only in
+    'big'."""
+    p, s = {}, {}
+    for conv in ("conv1", "conv1b", "conv2"):
+        if f"{prefix}.{conv}.weight" in sd:
+            p[conv] = {"weight": conv_weight_to_hwio(
+                sd[f"{prefix}.{conv}.weight"])}
+    for bn in ("bn1", "bn1b", "bn2"):
+        if f"{prefix}.{bn}.weight" in sd:
+            p[bn], s[bn] = _bn(sd, f"{prefix}.{bn}")
+    return p, s
+
+
+def import_tt_general_float(sd: Mapping[str, np.ndarray], cfg):
+    """TT_general float family + correctBN twins -> (params, state).
+
+    Float family (TT_general_imagenet.py:383-555): layers = [[AvgPool],
+    conv, act, bn, block*, pool, flatten, fc] with Block_resnet(_big)
+    float cells.  correctBN (TT_general.py:558-615): [conv, bn, act,
+    block*, pool, flatten, fc1, fc2] with Block_TT cells and BN before
+    the activation.  Heads absent from the state dict (disabled by the
+    groups list) are skipped."""
+    sd = strip_module_prefix(sd)
+    nb = len(cfg.block_configs())
+    state = {}
+    correctbn = not hasattr(cfg, "variant")
+    if correctbn:
+        off, bn_idx, cell = 0, 1, _block_tt
+    else:
+        from ..models.ttnet_general_float import _FLOAT_VARIANTS
+
+        off = 0 if _FLOAT_VARIANTS[cfg.variant]["stem"] == "s1" else 1
+        bn_idx, cell = off + 2, _float_cell
+    params = {"stem_conv": {
+        "weight": conv_weight_to_hwio(sd[f"features.{off}.weight"])}}
+    params["stem_bn"], state["stem_bn"] = _bn(sd, f"features.{bn_idx}")
+    for i in range(nb):
+        base = f"features.{off + 3 + i}"
+        bp, bs = {}, {}
+        for j in (1, 2, 3):
+            if f"{base}.Block_conv{j}.conv1.weight" in sd:
+                bp[f"conv{j}"], bs[f"conv{j}"] = cell(
+                    sd, f"{base}.Block_conv{j}")
+        bp["convf"], bs["convf"] = cell(sd, f"{base}.Block_convf")
+        params[f"block{i}"], state[f"block{i}"] = bp, bs
+    lin = off + 3 + nb + 2   # skip pool + flatten
+    first = {"weight": linear_weight_to_io(sd[f"features.{lin}.weight"]),
+             "bias": jnp.array(sd[f"features.{lin}.bias"])}
+    if correctbn:
+        params["fc1"] = first
+        params["fc2"] = {
+            "weight": linear_weight_to_io(sd[f"features.{lin + 1}.weight"]),
+            "bias": jnp.array(sd[f"features.{lin + 1}.bias"])}
+    else:
+        params["fc"] = first
+    return params, state
+
+
 def import_mobilenet_v1_tt(sd: Mapping[str, np.ndarray], cfg):
     """mobilenet_v1_TT state dict -> (params, state) (TT.py:187-214):
     features = [conv, bn, act, (block, act)*12, block, pool, flatten,
@@ -377,6 +437,7 @@ IMPORTERS = {
     "tt_fhe": import_tt_fhe,
     "tt_fhe_alexnet": import_tt_fhe_alexnet,
     "model_general": import_model_general,
+    "tt_general_float": import_tt_general_float,
     "mobilenet_v1_tt": import_mobilenet_v1_tt,
     "mobilenet_v2_tt": import_mobilenet_v2_tt,
     "resnet": import_resnet,

@@ -177,6 +177,8 @@ def load_params(cfg, model):
             "TTFHEConfig": ti.import_tt_fhe,
             "TTFHEAlexnetConfig": ti.import_tt_fhe_alexnet,
             "ModelGeneralConfig": ti.import_model_general,
+            "TTGeneralFloatConfig": ti.import_tt_general_float,
+            "TTGeneralCorrectBNConfig": ti.import_tt_general_float,
             "MobilenetV1TTConfig": ti.import_mobilenet_v1_tt,
             "MobilenetV2TTConfig": ti.import_mobilenet_v2_tt,
             "ResNetConfig": ti.import_resnet,

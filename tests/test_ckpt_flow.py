@@ -104,7 +104,7 @@ def test_torch_ckpt_unmapped_family_error(tmp_path):
     with pytest.raises(ValueError, match="no .pth importer"):
         main(["--mode", "eval", "--data_dir", str(tmp_path),
               "--ckpt", str(tmp_path / "x.pth"),
-              "--model", "TT_general", "--eval_batch_size", "2",
+              "--model", "tt_certif", "--eval_batch_size", "2",
               "--root_dir", str(tmp_path), "--mesh_data", "1"])
 
 

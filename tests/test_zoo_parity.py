@@ -365,21 +365,10 @@ def test_tt_general_correctbn_cifar_parity(x64):
 
     m = get_model("TT_general_correctBN_cifar", nfilter=8, tfilter=6,
                   layers=18, a_bit=2)
-    params, state = {}, {}
-    params["stem_conv"] = _conv_p(sd, "features.0")
-    params["stem_bn"], state["stem_bn"] = _bn_ps(sd, "features.1")
-    for i in range(4):
-        bp, bs = {}, {}
-        for ours, theirs in (("conv2", "Block_conv2"),
-                             ("conv3", "Block_conv3"),
-                             ("convf", "Block_convf")):
-            bp[ours], bs[ours] = _block_tt_ps(
-                sd, f"features.{3 + i}.{theirs}")
-        params[f"block{i}"], state[f"block{i}"] = bp, bs
-    params["fc1"] = {"weight": jnp.array(sd["features.9.weight"].T),
-                     "bias": jnp.array(sd["features.9.bias"])}
-    params["fc2"] = {"weight": jnp.array(sd["features.10.weight"].T),
-                     "bias": jnp.array(sd["features.10.bias"])}
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_tt_general_float
+
+    params, state = import_tt_general_float(sd, m.config)
     params, state = _f64(params), _f64(state)
 
     rng = np.random.default_rng(10)
@@ -464,38 +453,6 @@ def test_mobilenet_v2_tt_32_32_parity(x64):
     assert m.config.fcsize == tmodel.features[-1].in_features
 
 
-def _float_cell_ps(sd, prefix):
-    """Block_resnet / Block_resnet_big (TT_general_imagenet.py:20-98) ->
-    our float-cell param tree (conv1b/bn1b present only in 'big')."""
-    p, s = {}, {}
-    for conv in ("conv1", "conv1b", "conv2"):
-        if f"{prefix}.{conv}.weight" in sd:
-            p[conv] = _conv_p(sd, f"{prefix}.{conv}")
-    for bn in ("bn1", "bn1b", "bn2"):
-        if f"{prefix}.{bn}.weight" in sd:
-            p[bn], s[bn] = _bn_ps(sd, f"{prefix}.{bn}")
-    return p, s
-
-
-def _import_float_general(sd, n_blocks, head_idxs, off=0):
-    """off=1 for the variants whose layer list opens with AvgPool2d."""
-    params = {"stem_conv": _conv_p(sd, f"features.{off}")}
-    state = {}
-    params["stem_bn"], state["stem_bn"] = _bn_ps(sd, f"features.{off + 2}")
-    for i in range(n_blocks):
-        base = f"features.{off + 3 + i}"
-        bp, bs = {}, {}
-        for j in head_idxs:
-            bp[f"conv{j}"], bs[f"conv{j}"] = _float_cell_ps(
-                sd, f"{base}.Block_conv{j}")
-        bp["convf"], bs["convf"] = _float_cell_ps(sd, f"{base}.Block_convf")
-        params[f"block{i}"], state[f"block{i}"] = bp, bs
-    fck = f"features.{off + 3 + n_blocks + 2}"
-    params["fc"] = {"weight": jnp.array(sd[f"{fck}.weight"].T),
-                    "bias": jnp.array(sd[f"{fck}.bias"])}
-    return params, state
-
-
 def test_tt_general_8_parity(x64):
     """TT_general_8 (TT_general_imagenet.py:499-555): stride-1 k7 stem
     with no AvgPool, k=8/4/2 heads, convf k=3 gdiv 6; the reference
@@ -513,7 +470,10 @@ def test_tt_general_8_parity(x64):
     m = get_model("TT_general_8", nfilter=2, tfilter=4, layers=18, a_bit=2,
                   groups=(1, 2, 4, None))
     assert m.config.fcsize == tmodel.features[-1].in_features
-    params, state = _import_float_general(sd, 4, (1, 2, 3))
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_tt_general_float
+
+    params, state = import_tt_general_float(sd, m.config)
     params, state = _f64(params), _f64(state)
 
     rng = np.random.default_rng(13)
@@ -542,7 +502,10 @@ def test_tt_general_big_parity(x64):
     m = get_model("TT_general_big", nfilter=4, tfilter=4, layers=18,
                   a_bit=2, groups=(1, None, 4, None))
     assert m.config.fcsize == tmodel.features[-1].in_features
-    params, state = _import_float_general(sd, 3, (1, 3), off=1)
+    from scale_imagenet_tpu.convert.torch_import import \
+        import_tt_general_float
+
+    params, state = import_tt_general_float(sd, m.config)
     params, state = _f64(params), _f64(state)
 
     rng = np.random.default_rng(14)
