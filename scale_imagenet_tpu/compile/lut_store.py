@@ -35,8 +35,9 @@ def save_luts(path: str, luts: list[MultiHeadLUT]) -> None:
 
 
 def load_luts(path: str, model_cfg) -> list[MultiHeadLUT]:
-    """Rebuild the LUT pytree for ``model_cfg`` (a ttnet_imagenet model
-    config) from a ``save_luts`` archive."""
+    """Rebuild the LUT pytree for ``model_cfg`` (any LUT-servable config
+    exposing ``block_configs()`` — ttnet_imagenet incl. the VGG-stem
+    variant, TT_FHE incl. vAlexnet) from a ``save_luts`` archive."""
     from .lut_eval import _index_weights
 
     data = np.load(path)
