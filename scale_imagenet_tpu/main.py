@@ -191,7 +191,15 @@ def load_params(cfg, model):
                 "checkpoint with scale_imagenet_tpu.convert.torch_import "
                 "or load a native checkpoint dir instead")
         sd = ti.load_torch_state_dict(cfg.ckpt)
-        return importers[name](sd, model.config)
+        try:
+            return importers[name](sd, model.config)
+        except KeyError as e:
+            raise ValueError(
+                f"checkpoint {cfg.ckpt} does not match the "
+                f"{model.name} architecture built from the CLI flags "
+                f"(missing torch key {e}); check --model/--nfilter/"
+                "--tfilter/--layers/--model_arg against the run that "
+                "saved it") from e
     payload = load_checkpoint(cfg.ckpt)
     return payload["params"], payload["state"]
 

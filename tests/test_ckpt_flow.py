@@ -95,6 +95,20 @@ def test_cli_torch_ckpt_lut_serving_valexnet(tmp_path):
     assert lut == conv
 
 
+def test_torch_ckpt_architecture_mismatch_error(ckpt_and_data, tmp_path):
+    """A .pth whose architecture does not match the CLI flags fails with
+    a clear message naming the flags, not a raw importer KeyError."""
+    _, root = ckpt_and_data
+    from scale_imagenet_tpu.main import main
+
+    with pytest.raises(ValueError, match="does not match"):
+        main(["--mode", "eval", "--data_dir", os.path.join(root, "data"),
+              "--ckpt", os.path.join(root, "last.pth"),
+              "--nfilter", "4", "--tfilter", "4", "--layers", "2",
+              "--eval_batch_size", "8", "--root_dir", str(tmp_path),
+              "--mesh_data", "1"])
+
+
 def test_torch_ckpt_unmapped_family_error(tmp_path):
     """A .pth with a family that has no importer fails with a clear
     message, not a raw KeyError."""
