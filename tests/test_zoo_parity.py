@@ -155,6 +155,47 @@ def test_ttnet_vgg_stem_parity(x64):
     assert m.config.fcsize == tmodel.features[10].lin1.in_features
 
 
+def test_fhe_v2_block_parity(x64):
+    """TT_FHE.py's own v2 block ((3,2)/(2,3) kernels, groups [1,1,6,1],
+    convf -> out_planes) at T=0 vs our fhe_v2 multihead spec — the
+    TT_FHE_small model is stochastic (T=0.03) so whole-model logit
+    parity is impossible, but the block structure is deterministic."""
+    from models.TT_FHE import Block_resnet_multihead_general_BN_vf_small_v2
+
+    torch.manual_seed(12)
+    tblock = Block_resnet_multihead_general_BN_vf_small_v2(
+        24, 24, stride=1, T=0.0).double().eval()
+    sd = {k: v.detach().numpy() for k, v in tblock.state_dict().items()}
+
+    from scale_imagenet_tpu.models.multihead import MultiHeadConfig, \
+        multihead_block
+    from scale_imagenet_tpu.models.tt_fhe import FHE_BLOCK_VARIANTS
+
+    cfg = MultiHeadConfig(in_planes=24, out_planes=24, stride=1,
+                          **FHE_BLOCK_VARIANTS["fhe_v2"])
+    params, state = {}, {}
+    for theirs, ours in (("Block_conv1", "conv1"), ("Block_conv2", "conv2"),
+                         ("Block_conv3", "conv3"), ("Block_convf", "convf")):
+        params[ours], state[ours] = _block_tt_ps(sd, theirs)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(17)
+    # 16 is the fixup-covered width (TT_FHE.py:460-465); at e.g. 8 the
+    # reference CRASHES (out1 8x9 vs out2 9x8, no fixup row, cat fails)
+    # while our port reconciles by crop-to-smallest
+    x = (rng.uniform(0, 1, (2, 24, 16, 16)) > 0.5).astype(float)
+    with torch.no_grad():
+        ty = tblock(torch.tensor(x)).numpy()
+    jy, _ = multihead_block(params, state, cfg,
+                            jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(jy).transpose(0, 3, 1, 2), ty, rtol=1e-5, atol=1e-6)
+    with pytest.raises(RuntimeError, match="Sizes of tensors"):
+        with torch.no_grad():
+            tblock(torch.tensor(
+                (rng.uniform(0, 1, (1, 24, 8, 8)) > 0.5).astype(float)))
+
+
 def test_tt_fhe_xsmall_parity(x64):
     """TT_FHE_XSMALL (conv5 stem, one v3 block returning the RAW 4-head
     concat, Classifier_scale submodule head) vs the reference with
