@@ -125,15 +125,21 @@ def import_ttnet_imagenet(sd: Mapping[str, np.ndarray], cfg):
 def import_tt_fhe(sd: Mapping[str, np.ndarray], cfg):
     """TT_FHE-family state dict -> (params, state).  Layout
     (TT_FHE_SMALL.py:592-621): features = [conv, bn, act, block*, pool,
-    flatten, classifier] where the classifier is either flat sequential
-    entries (lin, bn, lin[, bn] — the SMALL/small styles) or a
-    Classifier_scale submodule with lin1/BN2/lin2 attributes (the
-    XSMALL/ref styles, TT_FHE_XSMALL.py:632-652)."""
+    flatten, classifier] where the classifier is flat sequential entries
+    (lin, bn, lin[, bn] — the SMALL/small styles), a Classifier_scale
+    submodule with lin1/BN2/lin2 attributes (the XSMALL/ref styles,
+    TT_FHE_XSMALL.py:632-652), or a Classifier_scale_new split head
+    (TT_FHE_SMALL.py:630-654).  A Bi-Real BinaryActivation stem's
+    learnable alpha_a/beta_a (TT_FHE_SMALL.py:151-153) become
+    params['stem_act']."""
     sd = strip_module_prefix(sd)
     params = {"stem_conv": {
         "weight": conv_weight_to_hwio(sd["features.0.weight"])}}
     state = {}
     params["stem_bn"], state["stem_bn"] = _bn(sd, "features.1")
+    if "features.2.alpha_a" in sd:   # Bi-Real BinaryActivation stem
+        params["stem_act"] = {"alpha": jnp.array(sd["features.2.alpha_a"]),
+                              "beta": jnp.array(sd["features.2.beta_a"])}
     i, b = 3, 0
     while f"features.{i}.Block_conv1.conv1.weight" in sd:
         bp, bs = {}, {}
@@ -146,6 +152,19 @@ def import_tt_fhe(sd: Mapping[str, np.ndarray], cfg):
         params[f"block{b}"], state[f"block{b}"] = bp, bs
         i, b = i + 1, b + 1
     cls = i + 2  # skip pool + flatten
+    if f"features.{cls}.linvf.weight" in sd:   # Classifier_scale_new
+        cp, cs = {}, {}
+        for lin in ("lin1", "lin2"):
+            cp[lin] = {"weight": linear_weight_to_io(
+                sd[f"features.{cls}.{lin}.weight"])}
+        cp["linvf"] = {
+            "weight": linear_weight_to_io(sd[f"features.{cls}.linvf.weight"]),
+            "bias": jnp.array(sd[f"features.{cls}.linvf.bias"])}
+        for theirs, ours in (("BN1", "bn1"), ("BN2", "bn2"),
+                             ("BNvf", "bnvf")):
+            cp[ours], cs[ours] = _bn(sd, f"features.{cls}.{theirs}")
+        params["classifier"], state["classifier"] = cp, cs
+        return params, state
     if f"features.{cls}.lin1.weight" in sd:   # Classifier_scale submodule
         params["lin1"] = {"weight": linear_weight_to_io(
             sd[f"features.{cls}.lin1.weight"])}
@@ -292,12 +311,7 @@ def import_model_general(sd: Mapping[str, np.ndarray], cfg):
             sd[f"features.{lin}.weight_mask"])
     params["fc"] = fc
     if f"features.{lin + 1}.weight" in sd:
-        params["head_bn"] = {
-            "weight": jnp.array(sd[f"features.{lin + 1}.weight"]),
-            "bias": jnp.array(sd[f"features.{lin + 1}.bias"])}
-        state["head_bn"] = {
-            "running_mean": jnp.array(sd[f"features.{lin + 1}.running_mean"]),
-            "running_var": jnp.array(sd[f"features.{lin + 1}.running_var"])}
+        params["head_bn"], state["head_bn"] = _bn(sd, f"features.{lin + 1}")
     return params, state
 
 

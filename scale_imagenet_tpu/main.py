@@ -192,7 +192,7 @@ def load_params(cfg, model):
                 "or load a native checkpoint dir instead")
         sd = ti.load_torch_state_dict(cfg.ckpt)
         try:
-            return importers[name](sd, model.config)
+            params, state = importers[name](sd, model.config)
         except KeyError as e:
             raise ValueError(
                 f"checkpoint {cfg.ckpt} does not match the "
@@ -200,6 +200,30 @@ def load_params(cfg, model):
                 f"(missing torch key {e}); check --model/--nfilter/"
                 "--tfilter/--layers/--model_arg against the run that "
                 "saved it") from e
+        # a width-only mismatch keeps the torch key set identical, so
+        # also validate array shapes against the model's own init
+        # (eval_shape traces without computing)
+        exp = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+        for got, want, label in ((params, exp[0], "params"),
+                                 (state, exp[1], "state")):
+            gflat = {jax.tree_util.keystr(p): tuple(v.shape) for p, v in
+                     jax.tree_util.tree_flatten_with_path(got)[0]}
+            for p, v in jax.tree_util.tree_flatten_with_path(want)[0]:
+                k = jax.tree_util.keystr(p)
+                if k not in gflat:
+                    raise ValueError(
+                        f"checkpoint {cfg.ckpt} is missing {label}{k} "
+                        f"for the {model.name} architecture built from "
+                        "the CLI flags; check --model/--nfilter/"
+                        "--tfilter/--layers/--model_arg")
+                if gflat[k] != tuple(v.shape):
+                    raise ValueError(
+                        f"checkpoint {cfg.ckpt} has {label}{k} of shape "
+                        f"{gflat[k]} but the CLI-built {model.name} "
+                        f"expects {tuple(v.shape)}; check --nfilter/"
+                        "--tfilter/--layers/--model_arg against the run "
+                        "that saved it")
+        return params, state
     payload = load_checkpoint(cfg.ckpt)
     return payload["params"], payload["state"]
 

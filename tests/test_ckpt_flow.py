@@ -109,6 +109,21 @@ def test_torch_ckpt_architecture_mismatch_error(ckpt_and_data, tmp_path):
               "--mesh_data", "1"])
 
 
+def test_torch_ckpt_width_mismatch_error(ckpt_and_data, tmp_path):
+    """A width-only mismatch keeps the torch key set identical — the
+    shape validation against the model's own init catches it with a
+    clear message instead of an XLA shape error mid-trace."""
+    _, root = ckpt_and_data
+    from scale_imagenet_tpu.main import main
+
+    with pytest.raises(ValueError, match="of shape"):
+        main(["--mode", "eval", "--data_dir", os.path.join(root, "data"),
+              "--ckpt", os.path.join(root, "last.pth"),
+              "--nfilter", "8", "--tfilter", "8", "--layers", "0",
+              "--eval_batch_size", "8", "--root_dir", str(tmp_path),
+              "--mesh_data", "1"])
+
+
 def test_torch_ckpt_unmapped_family_error(tmp_path):
     """A .pth with a family that has no importer fails with a clear
     message, not a raw KeyError."""

@@ -155,6 +155,76 @@ def test_ttnet_vgg_stem_parity(x64):
     assert m.config.fcsize == tmodel.features[10].lin1.in_features
 
 
+def test_tt_fhe_bireal_import_parity(x64):
+    """A TT_FHE_SMALL checkpoint whose stem is the Bi-Real
+    BinaryActivation (the alternative activation every FHE file defines,
+    TT_FHE_SMALL.py:145-174): the importer maps alpha_a/beta_a to
+    params['stem_act'] and logits match end to end."""
+    import torch.nn as nn
+
+    from models.TT_FHE_SMALL import TT_FHE_SMALL, BinaryActivation
+
+    cfg = argparse.Namespace(nfilter=4, tfilter=4)
+    torch.manual_seed(13)
+    tmodel = TT_FHE_SMALL(cfg)
+    feats = list(tmodel.features)
+    feats[2] = BinaryActivation()
+    with torch.no_grad():
+        feats[2].alpha_a.fill_(1.3)
+        feats[2].beta_a.fill_(-0.2)
+    tmodel.features = nn.Sequential(*feats)
+    tmodel = tmodel.double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import import_tt_fhe
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_FHE_SMALL_bireal", nfilter=4, tfilter=4)
+    params, state = import_tt_fhe(sd, m.config)
+    assert float(params["stem_act"]["alpha"]) == pytest.approx(1.3)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(18)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
+def test_tt_fhe_polyhead_import_parity(x64):
+    """A TT_FHE_SMALL checkpoint with the Classifier_scale_new split
+    head (TT_FHE_SMALL.py:630-654, defined-but-unwired there): the
+    importer maps the submodule and logits match our _polyhead model."""
+    import torch.nn as nn
+
+    from models.TT_FHE_SMALL import Classifier_scale_new, TT_FHE_SMALL
+
+    cfg = argparse.Namespace(nfilter=4, tfilter=4)
+    torch.manual_seed(14)
+    tmodel = TT_FHE_SMALL(cfg)
+    fcsize = tmodel.features[6].in_features
+    tmodel.features = nn.Sequential(
+        *list(tmodel.features)[:6],
+        Classifier_scale_new(fcsize, 10, inter=50, non_lin=960))
+    tmodel = tmodel.double().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from scale_imagenet_tpu.convert.torch_import import import_tt_fhe
+    from scale_imagenet_tpu.models import get_model
+
+    m = get_model("TT_FHE_SMALL_polyhead", nfilter=4, tfilter=4)
+    params, state = import_tt_fhe(sd, m.config)
+    params, state = _f64(params), _f64(state)
+
+    rng = np.random.default_rng(19)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32))
+    with torch.no_grad():
+        ty = tmodel(torch.tensor(x)).numpy()
+    jy, _ = m.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-6)
+
+
 def test_fhe_v2_block_parity(x64):
     """TT_FHE.py's own v2 block ((3,2)/(2,3) kernels, groups [1,1,6,1],
     convf -> out_planes) at T=0 vs our fhe_v2 multihead spec — the
