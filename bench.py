@@ -6,23 +6,44 @@ Prints ONE JSON line:
 ``vs_baseline`` is the speedup over the PyTorch-CPU reference implementation
 (measured on this machine and cached in results/torch_cpu_baseline.json;
 9.4 images/sec at the time of recording — BASELINE.json's >=10x north star).
+
+Resilience design: the TPU sits behind the experimental axon tunnel, which
+(a) can be transiently DOWN ("Unable to initialize backend 'axon'") and
+(b) when wedged blocks inside a C call no SIGALRM can interrupt.  So ALL
+device work runs in subprocesses with hard timeouts; the headline
+measurement is retried with backoff (the tunnel historically recovers in
+~1 min).  If the backend never comes up, the one JSON line is still
+printed from the recorded same-chip measurements, marked "live": false.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BATCH = 256
 WARMUP = 1
 ITERS = 10
-_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "results",
-                              "torch_cpu_baseline.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_FILE = os.path.join(_HERE, "results", "torch_cpu_baseline.json")
+_SERVE_FILE = os.path.join(_HERE, "results", "serve_bench.json")
 _FALLBACK_BASELINE_IPS = 9.395  # measured 2026-08-16, 8-thread torch CPU
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+HEADLINE_ATTEMPTS = _env_int("BENCH_HEADLINE_ATTEMPTS", 5)
+# first compile over axon can take minutes
+HEADLINE_TIMEOUT_S = _env_int("BENCH_HEADLINE_TIMEOUT_S", 1200)
+HEADLINE_BACKOFF_S = _env_int("BENCH_HEADLINE_BACKOFF_S", 90)
+EXTRAS_TIMEOUT_S = _env_int("BENCH_EXTRAS_TIMEOUT_S", 900)
 
 
 def torch_cpu_baseline() -> float:
@@ -41,6 +62,9 @@ def _timed(loop, params, state, x) -> float:
 
 def _ips(apply_fn, params, state, x, iters=ITERS) -> float:
     """In-graph fori_loop throughput (img/s); see the design note below."""
+    import jax
+    import jax.numpy as jnp
+
     @jax.jit
     def loop(params, state, x):
         def body(i, acc):
@@ -54,11 +78,27 @@ def _ips(apply_fn, params, state, x, iters=ITERS) -> float:
     return x.shape[0] * iters / dt
 
 
-def main():
+def _flagship():
+    import jax
+
     from scale_imagenet_tpu.models import get_model
 
     model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
     params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 224, 224, 3),
+                           jax.numpy.float32)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+    return model, params, state, x
+
+
+def headline():
+    """Measure the conv-f32 B=256 eval throughput; print one JSON line.
+
+    Runs as a subprocess of main() so a wedged tunnel can be killed from
+    outside (a blocked C call ignores signals raised in-process).
+    """
+    model, params, state, x = _flagship()
 
     # Steady-state device throughput: an in-graph loop excludes the remote
     # tunnel's per-dispatch latency (~37 ms/call here, which would otherwise
@@ -68,96 +108,21 @@ def main():
     def conv_apply(p, s, xx):
         return model.apply(p, s, xx, training=False)[0]
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 224, 224, 3),
-                           jnp.float32)
-    params = jax.device_put(params)
-    state = jax.device_put(state)
-
     ips = _ips(conv_apply, params, state, x)
-    baseline = torch_cpu_baseline()
-    result = {
-        "metric": "ttnet_small_imagenet_eval_throughput",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / baseline, 2),
-        "mode": "conv_f32",
-        "conv_b256_ips": round(ips, 2),
-    }
-
-    # the full serving story (best-effort — the headline metric above is
-    # already secured): B=1 latency where the compiled-LUT network wins,
-    # bf16 serving, and compiled-LUT throughput.  The extras run in a
-    # SUBPROCESS with a hard timeout: a wedged axon remote compile blocks
-    # inside a C call where no SIGALRM can interrupt, and it must not
-    # swallow the headline line (progress goes to stderr; stdout is the
-    # one JSON line)
-    import subprocess
-    import sys
-
-    print("headline done; measuring extras (subprocess, 900 s cap)...",
-          file=sys.stderr, flush=True)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extras"],
-            capture_output=True, text=True, timeout=900)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
-            else ""
-        if proc.returncode == 0 and line.startswith("{"):
-            result.update(json.loads(line))
-        else:
-            result["extras_error"] = (proc.stderr or "no output")[-120:]
-    except BaseException as e:  # noqa: BLE001 — extras never kill the line
-        result["extras_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    if "extras_error" in result:
-        # fall back to the recorded same-chip measurements so the full
-        # serving story still reaches the driver, clearly marked
-        try:
-            with open(os.path.join(os.path.dirname(__file__), "results",
-                                   "serve_bench.json")) as f:
-                sb = json.load(f)
-            result["lut_b256_ips"] = round(
-                sb["lut_pallas_b256"]["img_per_sec"], 1)
-            result["lut_b1_ms"] = round(
-                sb["lut_pallas_b1"]["ms_per_batch"], 3)
-            result["conv_b1_ms"] = round(
-                sb["conv_f32_b1"]["ms_per_batch"], 3)
-            result["conv_bf16_b256_ips"] = round(
-                sb["conv_bf16_b256"]["img_per_sec"], 1)
-            result["extras_source"] = "results/serve_bench.json (recorded)"
-        except Exception:
-            pass
-
-    # headline = the fastest serving mode of the SAME network.  The
-    # compiled-LUT path is bit-faithful with the conv forward (same
-    # logits; tests/test_lut_eval.py), so when a LIVE measurement of it
-    # beats conv it IS this model's eval throughput; conv stays in
-    # conv_b256_ips.  Recorded-fallback numbers never promote.
-    live_lut = result.get("lut_b256_ips") \
-        if "extras_source" not in result else None
-    if live_lut is not None and live_lut > result["value"]:
-        result["value"] = round(live_lut, 2)
-        result["vs_baseline"] = round(live_lut / baseline, 2)
-        result["mode"] = "lut_compiled"
-
-    print(json.dumps(result))
+    print(json.dumps({"conv_b256_ips": round(ips, 2)}))
 
 
 def extras():
     """Extra serving metrics, printed as their own JSON line (invoked as
     a bench.py --extras subprocess; see main)."""
-    from scale_imagenet_tpu.models import get_model
+    import jax
+    import jax.numpy as jnp
 
-    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8, layers=1)
-    params, state = model.init(jax.random.PRNGKey(0))
+    model, params, state, x = _flagship()
 
     def conv_apply(p, s, xx):
         return model.apply(p, s, xx, training=False)[0]
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 224, 224, 3),
-                           jnp.float32)
-    params = jax.device_put(params)
-    state = jax.device_put(state)
     x1 = x[:1]
     out = {}
     out["conv_b1_ms"] = round(1e3 / _ips(conv_apply, params, state,
@@ -182,10 +147,126 @@ def extras():
     print(json.dumps(out))
 
 
-if __name__ == "__main__":
-    import sys as _sys
+def _run_child(flag: str, timeout_s: int):
+    """Run this file with `flag` in a subprocess; return (dict | None, err)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s}s"
+    except BaseException as e:  # noqa: BLE001 — never kill the JSON line
+        return None, f"{type(e).__name__}: {e}"[:160]
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    if proc.returncode == 0 and line.startswith("{"):
+        try:
+            return json.loads(line), None
+        except Exception:
+            pass
+    return None, (proc.stderr or "no output").strip()[-160:]
 
-    if "--extras" in _sys.argv:
+
+def _recorded():
+    """Recorded same-chip measurements (results/serve_bench.json)."""
+    try:
+        with open(_SERVE_FILE) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def main():
+    baseline = torch_cpu_baseline()
+
+    # --- headline: retried subprocess; the tunnel recovers in ~1 min ---
+    head, err = None, "not attempted"
+    for attempt in range(HEADLINE_ATTEMPTS):
+        if attempt:
+            print(f"headline attempt {attempt} failed ({err}); retrying in "
+                  f"{HEADLINE_BACKOFF_S}s...", file=sys.stderr, flush=True)
+            time.sleep(HEADLINE_BACKOFF_S)
+        head, err = _run_child("--headline", HEADLINE_TIMEOUT_S)
+        if head is not None:
+            break
+
+    live = head is not None
+    if live:
+        ips = head["conv_b256_ips"]
+        result = {
+            "metric": "ttnet_small_imagenet_eval_throughput",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / baseline, 2),
+            "mode": "conv_f32",
+            "live": True,
+            "conv_b256_ips": round(ips, 2),
+        }
+    else:
+        # Backend never came up: report the recorded same-chip numbers so
+        # the serving story still reaches the driver, clearly marked.
+        sb = _recorded() or {}
+        ips = sb.get("lut_pallas_b256", {}).get("img_per_sec", 0.0)
+        mode = "lut_compiled"
+        if sb.get("conv_f32_b256", {}).get("img_per_sec", 0.0) > ips:
+            ips = sb["conv_f32_b256"]["img_per_sec"]
+            mode = "conv_f32"
+        result = {
+            "metric": "ttnet_small_imagenet_eval_throughput",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / baseline, 2),
+            "mode": mode,
+            "live": False,
+            "live_error": err,
+            "source": "results/serve_bench.json (recorded same-chip)",
+        }
+        print(json.dumps(result))
+        return
+
+    # --- extras (best-effort — the headline line above is secured):
+    # B=1 latency where the compiled-LUT network wins, bf16 serving, and
+    # compiled-LUT throughput.  Also a subprocess with a hard timeout: a
+    # wedged axon remote compile blocks inside a C call where no SIGALRM
+    # can interrupt, and it must not swallow the headline line.
+    print("headline done; measuring extras (subprocess, "
+          f"{EXTRAS_TIMEOUT_S} s cap)...", file=sys.stderr, flush=True)
+    ex, exerr = _run_child("--extras", EXTRAS_TIMEOUT_S)
+    if ex is not None:
+        result.update(ex)
+    else:
+        result["extras_error"] = exerr
+        # fall back to the recorded same-chip measurements, clearly marked
+        sb = _recorded()
+        if sb:
+            result["lut_b256_ips"] = round(
+                sb["lut_pallas_b256"]["img_per_sec"], 1)
+            result["lut_b1_ms"] = round(
+                sb["lut_pallas_b1"]["ms_per_batch"], 3)
+            result["conv_b1_ms"] = round(
+                sb["conv_f32_b1"]["ms_per_batch"], 3)
+            result["conv_bf16_b256_ips"] = round(
+                sb["conv_bf16_b256"]["img_per_sec"], 1)
+            result["extras_source"] = "results/serve_bench.json (recorded)"
+
+    # headline = the fastest serving mode of the SAME network.  The
+    # compiled-LUT path is bit-faithful with the conv forward (same
+    # logits; tests/test_lut_eval.py), so when a LIVE measurement of it
+    # beats conv it IS this model's eval throughput; conv stays in
+    # conv_b256_ips.  Recorded-fallback numbers never promote.
+    live_lut = result.get("lut_b256_ips") \
+        if "extras_source" not in result else None
+    if live_lut is not None and live_lut > result["value"]:
+        result["value"] = round(live_lut, 2)
+        result["vs_baseline"] = round(live_lut / baseline, 2)
+        result["mode"] = "lut_compiled"
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--extras" in sys.argv:
         extras()
+    elif "--headline" in sys.argv:
+        headline()
     else:
         main()
