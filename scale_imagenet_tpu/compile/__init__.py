@@ -26,7 +26,7 @@ from .lut_eval import (
     lut_ttnet_apply,
     lut_ttnet_vgg_stem_apply,
 )
-from .lut_store import load_luts, save_luts
+from .lut_store import load_luts, params_digest, save_luts
 
 __all__ = [
     "compile_block_tt_lut",
@@ -40,6 +40,7 @@ __all__ = [
     "lut_ttnet_apply",
     "lut_ttnet_vgg_stem_apply",
     "load_luts",
+    "params_digest",
     "save_luts",
     "block_truth_table",
     "enumerate_patterns",

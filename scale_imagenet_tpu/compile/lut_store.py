@@ -14,14 +14,42 @@ serving format.
 
 from __future__ import annotations
 
+import hashlib
+import warnings
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .lut_eval import BlockLUT, MultiHeadLUT
 
 
-def save_luts(path: str, luts: list[MultiHeadLUT]) -> None:
+def params_digest(params, state=None) -> str:
+    """SHA-256 over the (params, state) pytrees — leaf paths, dtypes,
+    shapes and bytes.  Stored in LUT archives so a stale ``.npz`` compiled
+    from DIFFERENT weights refuses to load: the compiled tables are
+    bit-faithful to the weights they were enumerated from, and a silent
+    shape-compatible mismatch would serve the wrong model with no error.
+    """
+    h = hashlib.sha256()
+    for tree in (params, state):
+        if tree is None:
+            continue
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            a = np.asarray(leaf)
+            h.update(jax.tree_util.keystr(path).encode())
+            h.update(str(a.dtype).encode())
+            h.update(str(a.shape).encode())
+            h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+def save_luts(path: str, luts: list[MultiHeadLUT],
+              params=None, state=None) -> None:
     arrs = {}
+    if params is not None:
+        arrs["__params_digest__"] = np.frombuffer(
+            params_digest(params, state).encode(), dtype=np.uint8)
     for i, ml in enumerate(luts):
         for h, bl in ml.heads.items():
             arrs[f"b{i}_h{h}_table"] = np.asarray(bl.table)
@@ -34,13 +62,34 @@ def save_luts(path: str, luts: list[MultiHeadLUT]) -> None:
     np.savez_compressed(path, **arrs)
 
 
-def load_luts(path: str, model_cfg) -> list[MultiHeadLUT]:
+def load_luts(path: str, model_cfg, params=None, state=None
+              ) -> list[MultiHeadLUT]:
     """Rebuild the LUT pytree for ``model_cfg`` (any LUT-servable config
     exposing ``block_configs()`` — ttnet_imagenet incl. the VGG-stem
-    variant, TT_FHE incl. vAlexnet) from a ``save_luts`` archive."""
+    variant, TT_FHE incl. vAlexnet) from a ``save_luts`` archive.
+
+    When ``params`` is given, the archive's stored weight digest is
+    checked against ``params_digest(params, state)``; a mismatch raises
+    ``ValueError`` (the archive was compiled from different weights —
+    delete it or point ``--lut_path`` elsewhere to recompile).
+    """
     from .lut_eval import _index_weights
 
     data = np.load(path)
+    if params is not None:
+        want = params_digest(params, state)
+        stored = data.get("__params_digest__")
+        if stored is None:
+            warnings.warn(
+                f"LUT archive {path} predates weight digests; cannot "
+                "verify it matches the current weights", stacklevel=2)
+        elif bytes(stored.tobytes()).decode() != want:
+            raise ValueError(
+                f"LUT archive {path} was compiled from DIFFERENT weights "
+                f"(stored digest {bytes(stored.tobytes()).decode()[:12]}… "
+                f"!= current {want[:12]}…). Compiled tables are "
+                "bit-faithful to their source weights; delete the archive "
+                "or pass a fresh --lut_path to recompile.")
     luts = []
     for i, bcfg in enumerate(model_cfg.block_configs()):
         heads = {}

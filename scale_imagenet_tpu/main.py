@@ -264,11 +264,11 @@ def _load_or_compile_luts(model, params, state, lut_path=None,
         lut_path += ".npz"   # np.savez appends it; keep load/save agreed
     if lut_path and _os.path.exists(lut_path):
         print(f"loading LUTs from {lut_path}")
-        return load_luts(lut_path, model.config)
+        return load_luts(lut_path, model.config, params, state)
     print("compiling truth tables (2^n patterns per head)...")
     luts = compile_fn(params, state, model.config)
     if lut_path and save_ok:
-        save_luts(lut_path, luts)
+        save_luts(lut_path, luts, params, state)
         print(f"saved LUTs -> {lut_path}")
     return luts
 

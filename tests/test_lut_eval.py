@@ -106,6 +106,41 @@ def test_lut_store_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_lut_store_digest_guard(tmp_path):
+    """An archive compiled from DIFFERENT weights refuses to load: the
+    stored params digest mismatches and load_luts raises (silent reuse
+    would serve bit-faithful-to-the-wrong-model logits)."""
+    import pytest
+
+    from scale_imagenet_tpu.compile.lut_store import load_luts, save_luts
+
+    m = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4, layers=0)
+    params, state = m.init(jax.random.PRNGKey(0))
+    luts = compile_ttnet_lut(params, state, m.config)
+    path = str(tmp_path / "luts.npz")
+    save_luts(path, luts, params, state)
+
+    # same weights: loads, and the digest round-trips
+    loaded = load_luts(path, m.config, params, state)
+    assert len(loaded) == len(luts)
+
+    # different weights (same shapes): refuses with the mismatch named
+    params2, state2 = m.init(jax.random.PRNGKey(7))
+    with pytest.raises(ValueError, match="DIFFERENT weights"):
+        load_luts(path, m.config, params2, state2)
+
+    # BN state drift alone also invalidates (tables bake the BN threshold)
+    state_drift = jax.tree.map(lambda a: a + 0.1 if a.ndim == 1 else a,
+                               state)
+    with pytest.raises(ValueError, match="DIFFERENT weights"):
+        load_luts(path, m.config, params, state_drift)
+
+    # a pre-digest archive loads with a warning, not an error
+    save_luts(path, luts)  # no params -> no digest stored
+    with pytest.warns(UserWarning, match="predates weight digests"):
+        load_luts(path, m.config, params, state)
+
+
 def test_fhe_model_lut_forward():
     """The FHE family — whose n in {4,8,9} tables are what the reference
     extracted (TT_FHE_SMALL.py:322-431) — serves from its compiled
