@@ -20,6 +20,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# trace-time observers of BatchNormStatsCallbak internals — the functional
+# analog of the reference's ``owner.on_bn_internals`` weakref callback
+# (netbin.py:611-613), which BiasRegularizer hooks (netbin.py:811-833).
+# ``stats_bn`` records its effective (scale, bias) pair to the innermost
+# active collector (robust/regularizer.py::bn_internals_collector).
+BN_OBSERVERS: list = []
+
 
 def _reduce_axes(x: jnp.ndarray) -> tuple:
     if x.ndim == 2:          # (N, C)
@@ -130,6 +137,8 @@ def stats_bn(
     scale = params["weight"] / jnp.sqrt(var + eps)
     bias = params["bias"] - mean * scale
     y = x * scale + bias
+    if BN_OBSERVERS:
+        BN_OBSERVERS[-1].record(scale, bias)
     return y, new_state, (scale, bias)
 
 

@@ -66,6 +66,22 @@ def parse_args(argv=None):
                    help="enable robust training: multi-sample stability "
                         "loss at this perturbation radius")
     p.add_argument("--stability_coeff", type=float, default=1e-4)
+    p.add_argument("--abstract_eps", type=float, default=0.0,
+                   help="interval-arithmetic stabilization loss "
+                        "(compute_act_stabilizing_loss_abstract, "
+                        "netbin.py:726-738): eps-ball radius propagated "
+                        "by abstract interpretation (cifar10lownoise "
+                        "family)")
+    p.add_argument("--abstract_coeff", type=float, default=1e-4,
+                   help="weight of the abstract stabilization loss "
+                        "(active when --abstract_eps > 0)")
+    p.add_argument("--bias_decay", type=float, default=0.0,
+                   help="BiasRegularizer coefficient ('cardinality bound "
+                        "decay', netbin.py:786-864) over stats_bn "
+                        "(scale, bias) internals")
+    p.add_argument("--bias_thresh", type=float, default=6.0,
+                   help="BiasRegularizer threshold: penalize "
+                        "-bias/scale above this bound")
     p.add_argument("--native_data", action="store_true",
                    help="use the C++ libjpeg loader (faster decode, "
                         "pixel-identical to the PIL pipeline)")
@@ -96,6 +112,10 @@ def parse_args(argv=None):
                         "shard dir, then exit")
     p.add_argument("--shards_split", choices=["val", "train"],
                    default="val")
+    p.add_argument("--shard_size", type=int, default=2048,
+                   help="images per shard file for --write_shards; "
+                        "multi-process training needs at least one shard "
+                        "per rank (files are assigned round-robin)")
     p.add_argument("--eval_shards_dir", type=str, default=None,
                    help="pre-decoded val shards for per-epoch validation "
                         "during training")
@@ -362,6 +382,7 @@ def main(argv=None):
         src = ImageFolder(os.path.join(cfg.data_dir, cfg.shards_split),
                           crop)
         meta = write_shards(src, cfg.write_shards,
+                            shard_size=cfg.shard_size,
                             num_workers=cfg.num_workers)
         print(f"wrote {meta['n']} images -> {cfg.write_shards}")
         return meta
@@ -414,6 +435,17 @@ def main(argv=None):
 
     if cfg.mode == "eval":
         from .parallel.mesh import local_batch_size
+
+        # no accepted flag may silently do nothing (the reference harness
+        # property: every flag acts, /root/reference/main.py:29-79)
+        if cfg.amp:
+            raise ValueError("--amp is bf16 mixed-precision TRAINING; "
+                             "bf16 serving is --bf16")
+        if cfg.stability_eps > 0 or cfg.abstract_eps > 0 \
+                or cfg.bias_decay > 0:
+            raise ValueError("--stability_eps/--abstract_eps/--bias_decay "
+                             "enable robust TRAINING (--mode train); "
+                             "they do not affect eval")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         if cfg.bf16:
@@ -528,6 +560,38 @@ def main(argv=None):
     from .runtime.checkpoint import CheckpointManager
     from .train import TrainState, make_optimizer, make_train_step
 
+    # no accepted flag may silently do nothing (the reference harness
+    # property: every flag acts, /root/reference/main.py:29-79)
+    if cfg.lut:
+        raise ValueError(
+            "--lut is a serving mode: train the float model, then serve "
+            "its compiled tables with --mode eval --lut (or export them "
+            "with --mode compile)")
+    if cfg.bf16:
+        raise ValueError("--bf16 is bf16 *serving* (eval); bf16 "
+                         "mixed-precision training is --amp")
+    if cfg.native_data:
+        raise ValueError(
+            "--native_data drives the eval decode pipeline (center "
+            "crop); the train path decodes with PIL, or pre-decode once "
+            "with --write_shards and train from --shards_dir (on-device "
+            "augmentation)")
+    if cfg.tp:
+        from .models.ttnet_imagenet import TTnetImageNetConfig
+
+        if cfg.amp:
+            raise ValueError("--tp training runs f32 (channel-sharded "
+                             "amp is not implemented); drop --amp")
+        if cfg.stability_eps > 0 or cfg.abstract_eps > 0 \
+                or cfg.bias_decay > 0:
+            raise ValueError("--tp is not supported with robust training "
+                             "(--stability_eps/--abstract_eps/"
+                             "--bias_decay); drop one")
+        if not isinstance(model.config, TTnetImageNetConfig):
+            raise ValueError(
+                "--tp training supports the ttnet_imagenet family, not "
+                f"{type(model.config).__name__}")
+
     if cfg.train_batch_size % world:
         raise ValueError(f"train batch {cfg.train_batch_size} not "
                          f"divisible by {world} processes")
@@ -559,13 +623,25 @@ def main(argv=None):
                             num_workers=cfg.num_workers, drop_last=True,
                             seed=cfg.seed, rank=rank, world=world)
     steps_per_epoch = len(loader)
+    if steps_per_epoch == 0:
+        # a silent 0-step "epoch" would look like a successful run; the
+        # usual cause multi-process is fewer shard FILES than ranks
+        # (round-robin assignment + lockstep truncation -> global 0)
+        raise ValueError(
+            f"0 train steps per epoch: rank {rank}'s data slice is "
+            f"smaller than its local batch {local_tbs} (world={world}; "
+            "multi-process shard training needs >= 1 shard file per "
+            "rank — rewrite with a smaller --shard_size, or shrink "
+            "--train_batch_size)")
     tx, schedule = make_optimizer(cfg.lr, weight_decay=cfg.wd,
                                   milestones=(30, 60, 90),
                                   steps_per_epoch=steps_per_epoch)
     with mesh:
-        # the shard_map train step keeps params replicated over both axes
-        params = jax.device_put(params)
-        state = jax.device_put(state)
+        # the dp shard_map train step keeps params replicated over both
+        # axes; the TP step re-places them channel-sharded below
+        if not cfg.tp:
+            params = jax.device_put(params)
+            state = jax.device_put(state)
         ts = TrainState(params, state, tx.init(params),
                         jnp.zeros((), jnp.int32))
         if cfg.ckpt and not cfg.ckpt.endswith((".pth", ".t7")):
@@ -590,12 +666,25 @@ def main(argv=None):
                 print("checkpoint has no optimizer state "
                       f"({type(e).__name__}: {e}); starting optimizer "
                       "fresh")
-        if cfg.stability_eps > 0:
+        if cfg.tp:
+            # channel-group tensor-parallel training: params/optimizer
+            # sharded over 'model' (shard-local updates), gradients
+            # pmean'd over 'data' — same collective structure as TP eval
+            # plus the classifier psum's AD transpose (parallel/tp.py)
+            from .parallel.tp import make_tp_train_step, \
+                shard_train_state_tp
+
+            ts = shard_train_state_tp(ts, mesh)
+            train_step = make_tp_train_step(model, tx, mesh,
+                                            **train_kwargs)
+        elif cfg.stability_eps > 0 or cfg.abstract_eps > 0 \
+                or cfg.bias_decay > 0:
             from .train.steps import make_robust_train_step
 
             if cfg.amp:
                 raise ValueError("--amp is not supported with robust "
-                                 "(--stability_eps) training")
+                                 "(--stability_eps/--abstract_eps/"
+                                 "--bias_decay) training")
             if not cfg.shards_dir:
                 # the JPEG train path host-normalizes — tell the robust
                 # step the real input range so the eps-ball clamps are
@@ -607,6 +696,10 @@ def main(argv=None):
                     (1.0 - IMAGENET_MEAN) / IMAGENET_STD))
             train_step = make_robust_train_step(
                 model, tx, cfg.stability_eps, cfg.stability_coeff, mesh,
+                abstract_eps=cfg.abstract_eps,
+                abstract_coeff=cfg.abstract_coeff if cfg.abstract_eps > 0
+                else 0.0,
+                bias_coeff=cfg.bias_decay, bias_thresh=cfg.bias_thresh,
                 **train_kwargs)
         else:
             train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
@@ -636,13 +729,21 @@ def main(argv=None):
                 raise ValueError(f"eval batch {cfg.eval_batch_size} not "
                                  f"divisible by {world} processes")
             local_ebs = cfg.eval_batch_size // world
+            if cfg.tp:
+                # ts.params stay channel-sharded through training — the
+                # validator must be the TP eval step (the plain one would
+                # hand GSPMD sharded grouped-conv params, which its
+                # partitioner rejects/mis-shards; see parallel/tp.py)
+                from .parallel.tp import make_tp_eval_step as _mk_estep
+            else:
+                _mk_estep = make_eval_step
             if cfg.eval_shards_dir:
                 from .data.shards import shard_loader as _sl
                 from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
                 ld = _sl(cfg.eval_shards_dir, local_ebs,
                          drop_last=False, rank=rank, world=world)
-                estep = make_eval_step(
+                estep = _mk_estep(
                     model, mesh, normalize=(IMAGENET_MEAN, IMAGENET_STD))
             else:
                 val_dir = os.path.join(cfg.data_dir, "val")
@@ -653,7 +754,7 @@ def main(argv=None):
                                 local_ebs, drop_last=False,
                                 num_workers=cfg.num_workers,
                                 rank=rank, world=world)
-                estep = make_eval_step(model, mesh)
+                estep = _mk_estep(model, mesh)
 
             def validate(params, state, epoch):
                 return evaluate(estep, params, state,
@@ -664,6 +765,23 @@ def main(argv=None):
             return validate
 
         validator = make_validator()
+
+        def ckpt_payload(ts):
+            """Host-extractable checkpoint payload.  TP + multi-process:
+            the channel shards live on other processes' devices, so the
+            coordinator's np extraction needs a collective first — an
+            SPMD identity with replicated out_shardings all-gathers every
+            leaf onto every process (ALL ranks must call this)."""
+            if cfg.tp and world > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+                ts = jax.jit(lambda t: t,
+                             out_shardings=jax.tree.map(lambda _: rep,
+                                                        ts))(ts)
+            return {"params": ts.params, "state": ts.model_state,
+                    "opt_state": ts.opt_state, "step": int(ts.step)}
+
         key = jax.random.PRNGKey(cfg.seed)
         try:
             start_epoch = int(ts.step) // max(steps_per_epoch, 1)
@@ -672,15 +790,24 @@ def main(argv=None):
                 for i, (images, labels) in enumerate(_feed(iter(loader))):
                     key, sub = jax.random.split(key)
                     ts, metrics = train_step(ts, images, labels, sub)
-                    if i % cfg.log_interval == 0 and is_coord:
-                        step = epoch * steps_per_epoch + i
+                    if i % cfg.log_interval == 0:
+                        # EVERY rank forces completion (not only the
+                        # coordinator): a non-coordinator that never
+                        # reads a value can race ahead, exit, and tear
+                        # down the runtime while the coordinator's
+                        # collectives are still in flight — observed as
+                        # a deadlock at the last step of an epoch
                         loss = float(metrics["loss"])
-                        print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
-                              f"loss {loss:.4f} "
-                              f"top1 {float(metrics['top1']):.2f}")
-                        logger.add_scalar("Loss/train", loss, step)
-                        logger.add_scalar("Accuracy/train",
-                                          float(metrics["top1"]), step)
+                        top1 = float(metrics["top1"])
+                        if is_coord:
+                            step = epoch * steps_per_epoch + i
+                            print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
+                                  f"loss {loss:.4f} top1 {top1:.2f}")
+                            logger.add_scalar("Loss/train", loss, step)
+                            logger.add_scalar("Accuracy/train", top1, step)
+                # all ranks drain the epoch's tail before the collective-
+                # free coordinator-only work (checkpoint IO)
+                ts = jax.block_until_ready(ts)
                 metric = None
                 if validator is not None:
                     top1, top5, vloss = validator(ts.params,
@@ -690,19 +817,22 @@ def main(argv=None):
                               f"top5 {top5:.3f}% loss {vloss:.4f}")
                         logger.add_scalar("Accuracy/val", top1, epoch)
                     metric = top1
+                if ckpt is not None or (cfg.tp and world > 1):
+                    payload = ckpt_payload(ts)  # collective: all ranks
                 if ckpt is not None:
-                    ckpt.save(int(ts.step), {
-                        "params": ts.params, "state": ts.model_state,
-                        "opt_state": ts.opt_state, "step": int(ts.step)},
-                        metric=metric)
+                    ckpt.save(int(ts.step), payload, metric=metric)
         except (KeyboardInterrupt, Exception):
             # failure containment the reference lacks entirely: snapshot
             # the full train state so the run resumes from the crash point
             if ckpt is not None:
-                ckpt.save(int(ts.step), {
-                    "params": ts.params, "state": ts.model_state,
-                    "opt_state": ts.opt_state, "step": int(ts.step)},
-                    metadata={"crash": True})
+                if cfg.tp and world > 1:
+                    # the gather is a collective; a crashed peer would
+                    # deadlock it — resume from the last epoch snapshot
+                    print("crash snapshot skipped: TP state is sharded "
+                          "across processes")
+                else:
+                    ckpt.save(int(ts.step), ckpt_payload(ts),
+                              metadata={"crash": True})
             raise
     if logger is not None:
         logger.close()

@@ -24,6 +24,12 @@ class ModelDef:
     init: Callable          # init(key) -> (params, state)
     apply: Callable         # apply(params, state, x, training=..., key=...)
     features: Callable | None = None
+    # interval-arithmetic activation-stability loss (the reference's
+    # compute_act_stabilizing_loss_abstract, netbin.py:726-738):
+    # interval_loss(params, state, x, eps, inputs_min, inputs_max) -> scalar.
+    # Present only on models whose forward propagates AbstractTensor in the
+    # reference (the cifar10lownoise robust-training family).
+    interval_loss: Callable | None = None
 
 
 def _ttnet_imagenet(name: str, variant: str):
@@ -246,11 +252,19 @@ def _register_extended():
     reg["model_general"] = _simple("model_general", ModelGeneralConfig,
                                    init_model_general, model_general_apply,
                                    returns_aux=True)
-    reg["cifar10lownoise"] = _simple("cifar10lownoise",
-                                     Cifar10LowNoiseConfig,
-                                     init_cifar10lownoise,
-                                     cifar10lownoise_apply,
-                                     returns_aux=True)
+    from .ttnet_cifar import cifar10lownoise_interval_loss
+
+    def mk_lownoise(**kwargs):
+        md = _simple("cifar10lownoise", Cifar10LowNoiseConfig,
+                     init_cifar10lownoise, cifar10lownoise_apply,
+                     returns_aux=True)(**kwargs)
+        return dataclasses.replace(
+            md,
+            interval_loss=lambda p, s, x, eps, lo=0.0, hi=1.0:
+                cifar10lownoise_interval_loss(p, s, md.config, x, eps,
+                                              inputs_min=lo, inputs_max=hi))
+
+    reg["cifar10lownoise"] = mk_lownoise
     return reg
 
 

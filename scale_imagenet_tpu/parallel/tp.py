@@ -249,7 +249,8 @@ def make_tp_lut_eval_step(model, mesh: Mesh, normalize=None):
     return eval_step
 
 
-def make_tp_train_step(model, tx, mesh: Mesh):
+def make_tp_train_step(model, tx, mesh: Mesh, normalize=None,
+                       augment=False):
     """Channel-group tensor-parallel TRAINING step (shard_map).
 
     Params stay channel-sharded over 'model' exactly as in TP eval — the
@@ -259,18 +260,30 @@ def make_tp_train_step(model, tx, mesh: Mesh):
     'data'.  Channel-sharded gradients need no model-axis reduction (each
     shard's slice is touched only by its own compute); replicated
     classifier-head grads are identical across 'model' by construction.
+
+    ``normalize``/``augment``: the on-device input stage, same contract
+    as ``make_train_step`` (train/steps.py).  Augmentation randomness is
+    folded by the 'data' axis index ONLY — per-data-shard independence
+    (matching the dp step), but IDENTICAL across 'model' shards, which
+    all see the same images and must crop/flip them identically.
     """
-    from ..train.steps import TrainState
+    from ..train.steps import TrainState, make_input_pipeline
     from ..train.losses import cross_entropy as _ce, accuracy_topk as _topk
 
     lcfg = local_config(model.config, mesh.shape["model"])
+    prepare = make_input_pipeline(
+        normalize, augment,
+        image_size=getattr(model.config, "image_size", 224))
 
     def loss_fn(params, state, images, labels, key):
+        images, key = prepare(images, key)
         logits, new_state = _forward_local(params, state, lcfg, images,
                                            training=True, key=key)
         return _ce(logits, labels), (new_state, logits)
 
     def step(ts, images, labels, key):
+        if key is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         (loss, (new_state, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.model_state, images,
                                    labels, key)

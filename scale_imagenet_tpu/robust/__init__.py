@@ -29,7 +29,8 @@ from .multisample import (
     multi_sample_heaviside,
     multi_sample_unpack_natural,
 )
-from .regularizer import bias_regularizer_loss
+from .regularizer import bias_regularizer_loss, \
+    bn_internals_collector, fanin_nonzero
 from .collect import multi_sample_forward, stability_loss_collector
 
 __all__ = [
@@ -39,5 +40,7 @@ __all__ = [
     "multi_sample_pack", "multi_sample_heaviside",
     "multi_sample_unpack_natural",
     "bias_regularizer_loss",
+    "bn_internals_collector",
+    "fanin_nonzero",
     "multi_sample_forward", "stability_loss_collector",
 ]

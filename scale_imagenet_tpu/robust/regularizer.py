@@ -8,8 +8,37 @@ count) of the preceding binarized layer.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+
+class _BNCollector:
+    """Accumulates every ``stats_bn`` forward's (scale, bias) pair — the
+    BiasRegularizer's per-BN ``on_bn_internals`` hook (netbin.py:811-833)
+    as a trace-time collector."""
+
+    def __init__(self):
+        self.pairs = []
+
+    def record(self, scale, bias):
+        self.pairs.append((scale, bias))
+
+
+@contextlib.contextmanager
+def bn_internals_collector():
+    """Collect (scale, bias) from every stats_bn call inside the context
+    (the reference installs/uninstalls ``net.on_bn_internals`` the same
+    way in ``BiasRegularizer.__enter__/__exit__``, netbin.py:838-850)."""
+    from ..layers import norm
+
+    c = _BNCollector()
+    norm.BN_OBSERVERS.append(c)
+    try:
+        yield c
+    finally:
+        norm.BN_OBSERVERS.pop()
 
 
 def bias_regularizer_loss(scale_bias_pairs, coeff: float, thresh: float,

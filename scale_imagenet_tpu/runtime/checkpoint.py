@@ -21,9 +21,19 @@ def _to_numpy_tree(tree):
 
 
 def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
-    """Save a dict of pytrees (params/state/opt_state/step...) + metadata."""
+    """Save a dict of pytrees (params/state/opt_state/step...) + metadata.
+
+    Multi-process runs write the flat-npz layout directly: the harness
+    saves from the COORDINATOR only (the payload is host-extracted /
+    replicated), but orbax's PyTreeCheckpointer in a jax.distributed
+    environment runs an internal all-process sync barrier — a
+    single-process call blocks ~5 min until the coordination service
+    kills the barrier, poisoning the job's shutdown (observed as a
+    DEADLINE_EXCEEDED shutdown barrier in the 2-process CLI e2e)."""
     os.makedirs(path, exist_ok=True)
     try:
+        if jax.process_count() > 1:
+            raise RuntimeError("multi-process: use the npz layout")
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()

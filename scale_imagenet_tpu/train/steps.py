@@ -224,11 +224,26 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
 
 def make_robust_train_step(model, tx, eps: float, coeff: float,
                            mesh: Mesh | None = None, normalize=None,
-                           augment: bool = False, input_bounds=None):
-    """Training step with the multi-sample activation-stability loss
-    (the reference's robust-training recipe: CE + coeff * rsloss,
-    netbin.py:710-724).  The natural batch doubles as its own adversarial
-    sample; plug in an attack upstream for adversarial training.
+                           augment: bool = False, input_bounds=None,
+                           abstract_eps: float = 0.0,
+                           abstract_coeff: float = 0.0,
+                           bias_coeff: float = 0.0,
+                           bias_thresh: float = 0.0):
+    """Training step with the reference's robustness losses, composable:
+
+    * ``eps/coeff`` — the multi-sample activation-stability loss
+      (CE + coeff * rsloss, netbin.py:710-724).  The natural batch
+      doubles as its own adversarial sample; plug in an attack upstream
+      for adversarial training.
+    * ``abstract_eps/abstract_coeff`` — the interval-arithmetic
+      stabilization loss (compute_act_stabilizing_loss_abstract,
+      netbin.py:726-738), propagating the eps-ball through the features
+      by abstract interpretation.  Requires a model with an
+      ``interval_loss`` hook (the cifar10lownoise robust family).
+    * ``bias_coeff/bias_thresh`` — BiasRegularizer ("cardinality bound
+      decay", netbin.py:786-864) over every ``stats_bn`` forward's
+      effective (scale, bias), collected trace-time.
+
     ``normalize``/``augment``: see make_train_step (the shard pipeline).
 
     ``input_bounds``: (min, max) of the images as the model sees them.
@@ -239,6 +254,14 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
     feeding host-normalized data must pass theirs.
     """
     from ..robust.collect import multi_sample_forward
+    from ..robust.regularizer import bias_regularizer_loss, \
+        bn_internals_collector
+
+    if abstract_coeff > 0 and model.interval_loss is None:
+        raise ValueError(
+            f"model {model.name} has no interval-arithmetic forward "
+            "(the reference propagates AbstractTensor only through the "
+            "cifar10lownoise family); drop --abstract_coeff")
 
     prepare = make_input_pipeline(
         normalize, augment,
@@ -255,13 +278,27 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
 
     def loss_fn(params, state, images, labels, key):
         images, key = prepare(images, key)
-        # BN state comes from the packed (3N) forward, exactly like the
-        # reference (its training forward IS forward_with_multi_sample) —
-        # no second natural-batch forward
-        logits, sloss, new_state = multi_sample_forward(
-            model, params, state, images, images, eps, key,
-            inputs_min=in_lo, inputs_max=in_hi, return_state=True)
+        with bn_internals_collector() as bn_c:
+            if eps > 0:
+                # BN state comes from the packed (3N) forward, exactly
+                # like the reference (its training forward IS
+                # forward_with_multi_sample) — no second natural forward
+                logits, sloss, new_state = multi_sample_forward(
+                    model, params, state, images, images, eps, key,
+                    inputs_min=in_lo, inputs_max=in_hi, return_state=True)
+            else:
+                logits, new_state = model.apply(params, state, images,
+                                                training=True, key=key)
+                sloss = jnp.zeros(())
         loss = cross_entropy(logits, labels) + coeff * sloss
+        if abstract_coeff > 0:
+            aloss = model.interval_loss(params, state, images,
+                                        abstract_eps, in_lo, in_hi)
+            sloss = sloss + aloss   # reported together, like the
+            loss = loss + abstract_coeff * aloss  # reference's .loss
+        if bias_coeff > 0:
+            loss = loss + bias_regularizer_loss(bn_c.pairs, bias_coeff,
+                                                bias_thresh)
         return loss, (new_state, logits, sloss)
 
     def train_step(ts: TrainState, images, labels, key,

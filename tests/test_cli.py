@@ -240,6 +240,86 @@ def test_cli_flag_guards(fake_imagenet, tmp_path):
               "--mesh_data", "1", "--tp", "--lut"])
 
 
+def test_cli_train_flag_honesty(fake_imagenet, tmp_path):
+    """No accepted flag may silently do nothing (the reference harness
+    property, main.py:29-79): serving/eval-only flags in --mode train and
+    training-only flags in --mode eval raise with the right flag named."""
+    train = ["--mode", "train", "--data_dir", fake_imagenet,
+             "--model", "ttnet_imagenet_xsmall", "--nfilter", "4",
+             "--tfilter", "4", "--layers", "0", "--train_batch_size", "4",
+             "--max_epochs", "1", "--root_dir", str(tmp_path),
+             "--mesh_data", "1"]
+    with pytest.raises(ValueError, match="--lut is a serving mode"):
+        main(train + ["--lut"])
+    with pytest.raises(ValueError, match="training is --amp"):
+        main(train + ["--bf16"])
+    with pytest.raises(ValueError, match="--native_data"):
+        main(train + ["--native_data"])
+    with pytest.raises(ValueError, match="drop --amp"):
+        main(train + ["--tp", "--amp"])
+    with pytest.raises(ValueError, match="--stability_eps"):
+        main(train + ["--tp", "--stability_eps", "0.1"])
+    with pytest.raises(ValueError, match="ttnet_imagenet family"):
+        main(["--mode", "train", "--data_dir", fake_imagenet,
+              "--model", "resnet18", "--train_batch_size", "4",
+              "--max_epochs", "1", "--root_dir", str(tmp_path),
+              "--mesh_data", "1", "--tp"])
+
+    ev = ["--mode", "eval", "--data_dir", fake_imagenet,
+          "--model", "ttnet_imagenet_xsmall", "--nfilter", "4",
+          "--tfilter", "4", "--layers", "0", "--eval_batch_size", "4",
+          "--root_dir", str(tmp_path), "--mesh_data", "1"]
+    with pytest.raises(ValueError, match="TRAINING"):
+        main(ev + ["--amp"])
+    with pytest.raises(ValueError, match="TRAINING"):
+        main(ev + ["--stability_eps", "0.1"])
+
+
+def test_cli_tp_training(fake_imagenet, tmp_path, capsys):
+    """--tp --mode train through the CLI: channel-sharded params +
+    shard-local optimizer on a 4x2 virtual mesh.  Shard-fed (on-device
+    flip keyed by --seed, folded by the 'data' axis index in BOTH steps),
+    so the first-step loss must match the dp run to float tolerance; the
+    sharded state checkpoints and resumes."""
+    import re
+
+    shards = str(tmp_path / "shards")
+    main(["--mode", "eval", "--data_dir", fake_imagenet,
+          "--write_shards", shards, "--num_workers", "2",
+          "--root_dir", str(tmp_path)])
+    args = [
+        "--mode", "train", "--shards_dir", shards,
+        "--model", "ttnet_imagenet_small",
+        "--nfilter", "8", "--tfilter", "4", "--layers", "0",  # p=32
+        "--train_batch_size", "8", "--max_epochs", "1",
+        "--mesh_data", "4", "--mesh_model", "2",
+        "--log_interval", "1",
+    ]
+
+    def first_loss(out):
+        m = re.search(r"epoch 0 \[0/\d+\] loss ([\d.]+)", out)
+        assert m, out
+        return float(m.group(1))
+
+    capsys.readouterr()
+    main(args + ["--root_dir", str(tmp_path / "dp")])
+    dp_loss = first_loss(capsys.readouterr().out)
+
+    main(args + ["--tp", "--root_dir", str(tmp_path / "tp")])
+    tp_loss = first_loss(capsys.readouterr().out)
+    # same images, same flips (key folded by data index in both steps),
+    # same math modulo the classifier psum's f32 reassociation
+    assert tp_loss == pytest.approx(dp_loss, rel=1e-3)
+
+    # the channel-sharded TrainState checkpointed; --tp resume restores it
+    last = sorted((tmp_path / "tp" / "ckpt").rglob("step_*"))[-1]
+    main(args + ["--tp", "--root_dir", str(tmp_path / "tp"),
+                 "--max_epochs", "2", "--ckpt", str(last)])
+    out = capsys.readouterr().out
+    m = re.search(r"resumed full train state at step (\d+)", out)
+    assert m and int(m.group(1)) >= 1, out
+
+
 def test_model_arg_passthrough():
     """--model_arg KEY=VALUE reaches the registry factory (the
     reference's --Wbits/--Abit_inter knobs, /root/reference/main.py:44-45)
@@ -306,3 +386,43 @@ def test_cli_fhe_lut_eval(tmp_path, model):
     assert os.path.exists(lut_path)
     lut2 = main(args + ["--lut", "--lut_path", lut_path])  # load path
     assert lut1 == conv and lut2 == conv
+
+
+def test_cli_robust_train_flags(tmp_path, capsys):
+    """--abstract_eps/--abstract_coeff and --bias_decay/--bias_thresh
+    reach the robust train step through the CLI (the reference keeps
+    compute_act_stabilizing_loss_abstract and BiasRegularizer one method
+    call away on every model, netbin.py:726-738,786-864)."""
+    import re
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    for c in range(3):
+        d = tmp_path / "data" / "train" / f"n{c:08d}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.jpg")
+
+    args = ["--mode", "train", "--data_dir", str(tmp_path / "data"),
+            "--model", "cifar10lownoise", "--train_batch_size", "4",
+            "--max_epochs", "1", "--root_dir", str(tmp_path),
+            "--mesh_data", "1", "--log_interval", "1",
+            "--abstract_eps", "0.0078", "--abstract_coeff", "0.01",
+            "--bias_decay", "0.001", "--bias_thresh", "0.5"]
+    capsys.readouterr()
+    main(args)
+    out = capsys.readouterr().out
+    m = re.search(r"loss ([\d.]+)", out)
+    assert m and np.isfinite(float(m.group(1))), out
+
+    # the abstract loss refuses models without an interval forward
+    with pytest.raises(ValueError, match="interval"):
+        main(["--mode", "train", "--data_dir", str(tmp_path / "data"),
+              "--model", "ttnet_imagenet_xsmall", "--nfilter", "4",
+              "--tfilter", "4", "--layers", "0", "--train_batch_size", "4",
+              "--max_epochs", "1", "--root_dir", str(tmp_path),
+              "--mesh_data", "1", "--abstract_eps", "0.0078"])

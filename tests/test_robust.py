@@ -151,3 +151,123 @@ def test_interval_loss_where_reference_cannot():
     loss = cifar10lownoise_interval_loss(params, state, m.config, x,
                                          eps=2 / 255)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_bias_regularizer_parity_vs_reference():
+    """bias_regularizer_loss == the reference BiasRegularizer run over a
+    real training forward of model_cifar10lownoise (netbin.py:786-864).
+    The shipped model zeroes its head BN's bias_regularizer_coeff
+    (netbin.py:950-953) — restored to the class default 1 here so the
+    regularizer actually accumulates; the (scale, bias) pairs the torch
+    callback sees are captured and fed to our loss for an exact-math
+    comparison, including the consider_sparsity fan-in weighting."""
+    import argparse
+
+    from models.model_utils import netbin, utils as ref_utils
+
+    from scale_imagenet_tpu.robust import fanin_nonzero
+
+    netbin.Flatten = ref_utils.Flatten  # missing import in the reference
+    cfg = argparse.Namespace(dataset="CIFAR10", nchannel=3)
+    torch.manual_seed(0)
+    tm = netbin.model_cifar10lownoise(0.0625, cfg)
+    tm.features[-1].bias_regularizer_coeff = 1
+    tm.train()
+    x = torch.rand(8, 3, 32, 32)
+
+    for sparsity in (False, True):
+        reg = netbin.BiasRegularizer(coeff=0.37, thresh=0.6, net=tm)
+        reg.consider_sparsity = sparsity
+        captured = []
+        with reg:
+            orig_cb = tm.on_bn_internals
+
+            def spy(bn, scale, bias, orig_cb=orig_cb, captured=captured):
+                captured.append((
+                    scale.detach().numpy().copy(),
+                    bias.detach().numpy().copy(),
+                    reg._bn_prev[bn].weight_bin.detach().numpy().copy()))
+                return orig_cb(bn, scale, bias)
+
+            tm.on_bn_internals = spy
+            with torch.no_grad():
+                tm.features(x)
+        ref_loss = float(reg.loss)
+
+        assert len(captured) == 1  # one BatchNormStatsCallbak in the net
+        pairs = [(jnp.asarray(s), jnp.asarray(b)) for s, b, _ in captured]
+        fanin = [fanin_nonzero(jnp.asarray(w.T)) for _, _, w in captured] \
+            if sparsity else None
+        got = float(bias_regularizer_loss(pairs, coeff=0.37, thresh=0.6,
+                                          fanin_weights=fanin))
+        np.testing.assert_allclose(got, ref_loss, rtol=1e-5, atol=1e-7)
+
+
+def test_bn_internals_collector_records_stats_bn():
+    """Our model's training forward records exactly the head stats_bn's
+    (scale, bias) to the active collector — the functional analog of the
+    reference's on_bn_internals callback wiring."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.robust.regularizer import bn_internals_collector
+
+    m = get_model("cifar10lownoise")
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    with bn_internals_collector() as c:
+        m.apply(params, state, x, training=True)
+    assert len(c.pairs) == 1
+    scale, bias = c.pairs[0]
+    assert scale.shape[-1] in (1, 10) and bias.shape == (10,)
+
+
+def test_robust_step_abstract_and_bias_losses_act():
+    """make_robust_train_step with the interval (abstract) stabilization
+    loss and the bias regularizer: both terms contribute to the training
+    loss (differ from the plain CE step) and gradients stay finite."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.train import TrainState, make_optimizer
+    from scale_imagenet_tpu.train.steps import make_robust_train_step, \
+        make_train_step
+
+    m = get_model("cifar10lownoise")
+    params, state = m.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(lr=0.01, weight_decay=0.0, milestones=(1000,))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 10)
+    key = jax.random.PRNGKey(3)
+
+    def first_loss(step):
+        # train steps DONATE their TrainState — rebuild from fresh copies
+        # each call (a donated leaf is deleted even on reuse of the same
+        # params pytree)
+        p = jax.tree.map(jnp.copy, params)
+        ts = TrainState(p, jax.tree.map(jnp.copy, state), tx.init(p),
+                        jnp.zeros((), jnp.int32))
+        ts2, metrics = step(ts, images, labels, key)
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        return float(metrics["loss"])
+
+    plain = first_loss(make_train_step(m, tx))
+    ab = first_loss(make_robust_train_step(
+        m, tx, eps=0.0, coeff=0.0, abstract_eps=2 / 255,
+        abstract_coeff=1e-2))
+    bias = first_loss(make_robust_train_step(
+        m, tx, eps=0.0, coeff=0.0, bias_coeff=10.0, bias_thresh=-0.5))
+    both = first_loss(make_robust_train_step(
+        m, tx, eps=0.0, coeff=0.0, abstract_eps=2 / 255,
+        abstract_coeff=1e-2, bias_coeff=10.0, bias_thresh=-0.5))
+    assert ab > plain          # interval loss is strictly positive here
+    assert bias > plain        # thresh=-0.5 guarantees a positive penalty
+    assert both > max(ab, bias) - 1e-6
+
+    # composes with the multi-sample loss too (all three terms at once)
+    allthree = first_loss(make_robust_train_step(
+        m, tx, eps=2 / 255, coeff=1e-2, abstract_eps=2 / 255,
+        abstract_coeff=1e-2, bias_coeff=10.0, bias_thresh=-0.5))
+    assert np.isfinite(allthree)
+
+    # models without an interval forward refuse the abstract loss
+    m2 = get_model("tt_fhe_small", nfilter=2, tfilter=2, num_classes=10)
+    with pytest.raises(ValueError, match="interval"):
+        make_robust_train_step(m2, tx, eps=0.0, coeff=0.0,
+                               abstract_eps=2 / 255, abstract_coeff=1e-2)

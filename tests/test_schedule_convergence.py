@@ -1,0 +1,59 @@
+"""Schedule-exercising convergence witness (VERDICT r3 #6).
+
+The overfit runs (test_convergence.py) saturate before the first
+MultiStepLR milestone, so schedule bugs were invisible.  The
+generalization harness (tools/train_generalization.py) trains a
+NON-saturating synthetic task with a held-out split across the LR drops;
+the chip artifact is asserted here, and a genuine CPU run crossing two
+milestones is available under RUN_SLOW=1 (~10 min).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+_RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "train_generalization.json")
+
+
+def _milestones_acted(curve, milestones):
+    lrs = sorted({c["lr"] for c in curve}, reverse=True)
+    # each crossed milestone multiplies the LR by gamma=0.1: the curve
+    # must contain n_milestones+1 distinct LR plateaus
+    assert len(lrs) >= min(len(milestones), 2) + 1, lrs
+    for hi, lo in zip(lrs, lrs[1:]):
+        assert lo == pytest.approx(hi * 0.1, rel=1e-4), lrs
+
+
+def test_generalization_artifact():
+    """The chip run must generalize (val top-1 far above the 1% random
+    baseline for 100 classes) and show every LR drop acting."""
+    if not os.path.exists(_RESULTS):
+        pytest.skip("results/train_generalization.json not generated yet")
+    with open(_RESULTS) as f:
+        data = json.load(f)
+    assert data["final_val_top1"] >= 50.0, data["final_val_top1"]
+    _milestones_acted(data["curve"], data["milestones"])
+    # generalization, not memorization: train and val must both climb
+    head = data["curve"][0]
+    assert head["val_top1"] < 50.0 < data["final_val_top1"]
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="~10 min CPU training; set RUN_SLOW=1")
+def test_cpu_schedule_generalization():
+    """Train across TWO MultiStepLR milestones on CPU: the val accuracy
+    of a held-out split must clear a pinned threshold (calibrated run:
+    84-86.75%) and the LR plateaus must show both drops."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.train_generalization import run_generalization
+
+    res = run_generalization(n_train=1600, n_val=400, n_classes=20,
+                             size=32, batch=100, epochs=12,
+                             milestones=(4, 8), lr=0.05, nfilter=4,
+                             eval_every_epochs=2)
+    assert res["final_val_top1"] >= 70.0, res
+    _milestones_acted(res["curve"], (4, 8))
