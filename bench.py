@@ -44,6 +44,10 @@ HEADLINE_ATTEMPTS = _env_int("BENCH_HEADLINE_ATTEMPTS", 5)
 HEADLINE_TIMEOUT_S = _env_int("BENCH_HEADLINE_TIMEOUT_S", 1200)
 HEADLINE_BACKOFF_S = _env_int("BENCH_HEADLINE_BACKOFF_S", 90)
 EXTRAS_TIMEOUT_S = _env_int("BENCH_EXTRAS_TIMEOUT_S", 900)
+# a DOWN tunnel HANGS jax.devices() (no error) — probing cheaply first
+# keeps the no-backend path at ~15 min instead of 5 x the full headline
+# timeout (~100 min)
+PROBE_TIMEOUT_S = _env_int("BENCH_PROBE_TIMEOUT_S", 180)
 
 
 def torch_cpu_baseline() -> float:
@@ -147,6 +151,17 @@ def extras():
     print(json.dumps(out))
 
 
+def probe():
+    """Cheap backend liveness check: device discovery + one tiny op with
+    a real host read (block_until_ready lies over the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+    float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
+    print(json.dumps({"ok": True}))
+
+
 def _run_child(flag: str, timeout_s: int):
     """Run this file with `flag` in a subprocess; return (dict | None, err)."""
     try:
@@ -178,13 +193,21 @@ def _recorded():
 def main():
     baseline = torch_cpu_baseline()
 
-    # --- headline: retried subprocess; the tunnel recovers in ~1 min ---
+    # --- headline: probed + retried subprocess; the tunnel recovers in
+    # ~1 min when it recovers at all.  The probe eats the DOWN case (a
+    # dead tunnel hangs, so each unprobed attempt would burn the full
+    # headline timeout); the full-timeout measurement runs only against
+    # a live backend.
     head, err = None, "not attempted"
     for attempt in range(HEADLINE_ATTEMPTS):
         if attempt:
             print(f"headline attempt {attempt} failed ({err}); retrying in "
                   f"{HEADLINE_BACKOFF_S}s...", file=sys.stderr, flush=True)
             time.sleep(HEADLINE_BACKOFF_S)
+        alive, perr = _run_child("--probe", PROBE_TIMEOUT_S)
+        if alive is None:
+            err = f"backend probe failed: {perr}"
+            continue
         head, err = _run_child("--headline", HEADLINE_TIMEOUT_S)
         if head is not None:
             break
@@ -268,5 +291,7 @@ if __name__ == "__main__":
         extras()
     elif "--headline" in sys.argv:
         headline()
+    elif "--probe" in sys.argv:
+        probe()
     else:
         main()
