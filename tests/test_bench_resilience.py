@@ -44,7 +44,10 @@ def test_backend_down_emits_marked_fallback(bench):
     with mock.patch.object(bench, "_run_child", return_value=down) as rc, \
             mock.patch.object(bench.time, "sleep") as slept:
         d = _run_main(bench)
-    assert rc.call_count == bench.HEADLINE_ATTEMPTS  # retried with backoff
+    # each attempt burns only the cheap PROBE child (a down tunnel hangs,
+    # so the full-timeout headline must never be attempted against it)
+    assert rc.call_count == bench.HEADLINE_ATTEMPTS
+    assert all(c.args[0] == "--probe" for c in rc.call_args_list)
     assert slept.call_count == bench.HEADLINE_ATTEMPTS - 1
     assert d["live"] is False
     assert "UNAVAILABLE" in d["live_error"]
@@ -55,6 +58,8 @@ def test_backend_down_emits_marked_fallback(bench):
 
 def test_headline_live_extras_dead_uses_recorded_extras(bench):
     def child(flag, timeout_s):
+        if flag == "--probe":
+            return {"ok": True}, None
         if flag == "--headline":
             return {"conv_b256_ips": 7290.0}, None
         return None, "timeout after 900s"
@@ -69,6 +74,8 @@ def test_headline_live_extras_dead_uses_recorded_extras(bench):
 
 def test_all_live_lut_win_promotes_headline(bench):
     def child(flag, timeout_s):
+        if flag == "--probe":
+            return {"ok": True}, None
         if flag == "--headline":
             return {"conv_b256_ips": 7290.0}, None
         return {"lut_b256_ips": 7760.0, "lut_b1_ms": 1.45,
