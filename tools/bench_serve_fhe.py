@@ -36,10 +36,17 @@ def main():
     def lut_apply(p, s, x):
         return lut_tt_fhe_apply(luts, p, s, model.config, x)
 
+    def lut_xla_apply(p, s, x):
+        # portable flat-gather path: no Pallas launches, no NHWC<->(G,E)
+        # layout moves — candidate winner at B=1 where the n<=9 tables
+        # are tiny and fixed per-kernel overhead dominates
+        return lut_tt_fhe_apply(luts, p, s, model.config, x, pallas=False)
+
     results = {}
     for b in (1, 256, 1024):
         x = jax.random.uniform(jax.random.PRNGKey(1), (b, 32, 32, 3))
-        for mode, fn in (("conv_f32", conv_apply), ("lut_pallas", lut_apply)):
+        for mode, fn in (("conv_f32", conv_apply), ("lut_pallas", lut_apply),
+                         ("lut_xla", lut_xla_apply)):
             ms = in_graph_ms(fn, params, state, x)
             results[f"{mode}_b{b}"] = {
                 "ms_per_batch": round(ms, 3),
