@@ -633,8 +633,11 @@ def main(argv=None):
             "multi-process shard training needs >= 1 shard file per "
             "rank — rewrite with a smaller --shard_size, or shrink "
             "--train_batch_size)")
+    # the reference recipe picks its MultiStepLR milestones by run length
+    # (main.py:196-199: [30,60,90] for the 90-epoch run, else [60,100,140])
+    milestones = (30, 60, 90) if cfg.max_epochs == 90 else (60, 100, 140)
     tx, schedule = make_optimizer(cfg.lr, weight_decay=cfg.wd,
-                                  milestones=(30, 60, 90),
+                                  milestones=milestones,
                                   steps_per_epoch=steps_per_epoch)
     with mesh:
         # the dp shard_map train step keeps params replicated over both

@@ -78,6 +78,74 @@ def block_apply_nchw(lut, x_bits):
     return out.reshape(b, h, w, g * f)
 
 
+def stage_fns(lut):
+    """Prefix pipelines of the NHWC adapter, for the transpose-tax
+    decomposition (VERDICT r3 #4): time each prefix in-graph; successive
+    deltas = idx conv | input (E,G)->(G,E) transpose | gather walk |
+    output (G,F,E)->NHWC transpose."""
+    cfg = lut.cfg
+
+    def conv_idx(x_bits):
+        xb = constant_pad2d(x_bits, cfg.padding) if cfg.padding else x_bits
+        return jax.lax.conv_general_dilated(
+            xb, lut.index_w.astype(xb.dtype),
+            window_strides=(cfg.stride, cfg.stride), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=cfg.groupsici,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    def p1(x_bits):                       # conv only
+        return conv_idx(x_bits)
+
+    def p2(x_bits):                       # + input transpose
+        idx = conv_idx(x_bits)
+        return idx.reshape(-1, idx.shape[-1]).T
+
+    def _gather(idx_ge, e):
+        rows = -(-e // 128)
+        tile_rows = min(512, -(-rows // 8) * 8)
+        return lut_gather(lut.packed, idx_ge, tile_rows=tile_rows,
+                          out_dtype=jnp.bfloat16)
+
+    def p3(x_bits):                       # + gather (stay (G,F,E))
+        idx = conv_idx(x_bits)
+        g = idx.shape[-1]
+        idx_ge = idx.reshape(-1, g).T
+        return _gather(idx_ge, idx_ge.shape[1])
+
+    def p4(x_bits):                       # + output transpose (full)
+        idx = conv_idx(x_bits)
+        b, h, w, g = idx.shape
+        idx_ge = idx.reshape(-1, g).T
+        out = _gather(idx_ge, idx_ge.shape[1])
+        f = lut.packed.shape[1]
+        return jnp.transpose(out.reshape(g * f, -1)).reshape(b, h, w,
+                                                             g * f)
+
+    return [("conv", p1), ("+inT", p2), ("+gather", p3), ("+outT", p4)]
+
+
+def transpose_tax(luts, bits):
+    print("--- transpose-tax decomposition (deltas between prefixes) ---",
+          flush=True)
+    for bi, blk in enumerate(luts):
+        heads = {**{f"head{i}": h for i, h in blk.heads.items()}}
+        if blk.convf is not None and blk.convf.packed is not None \
+                and blk.convf.packed.dtype == jnp.int32:
+            heads["convf"] = blk.convf
+        prev_ms = 0.0
+        for hname, lut in heads.items():
+            parts = []
+            prev_ms = 0.0
+            for nm, fn in stage_fns(lut):
+                ms = in_graph_ms(fn, bits)
+                parts.append(f"{nm} {ms - prev_ms:6.2f}")
+                prev_ms = ms
+            print(f"block{bi} {hname}: " + " | ".join(parts)
+                  + f"  (total {prev_ms:.2f} ms)", flush=True)
+        break  # block0 dominates; extend if needed
+
+
 def main():
     import os
 
@@ -100,6 +168,11 @@ def main():
     key = jax.random.PRNGKey(1)
     # block0 input: 56x56x64 bits
     bits = (jax.random.uniform(key, (B, 56, 56, 64)) < 0.5)
+
+    import sys
+    if "--tax" in sys.argv:
+        transpose_tax(luts, bits.astype(jnp.bfloat16))
+        return
 
     for name, fn in (("nhwc", block_apply_nhwc), ("nchw", block_apply_nchw)):
         for dt in (jnp.float32, jnp.bfloat16):
