@@ -40,10 +40,20 @@ def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
         ckptr.save(os.path.join(path, "tree"), _to_numpy_tree(payload),
                    force=True)
     except Exception:
-        # flat-npz fallback
-        flat, treedef = jax.tree.flatten(_to_numpy_tree(payload))
-        np.savez(os.path.join(path, "tree.npz"),
-                 **{str(i): a for i, a in enumerate(flat)})
+        # flat-npz fallback: indexed leaves restore EXACT structure via
+        # `like` (full-train-state resume); params/state — plain nested
+        # dicts — ride along path-keyed so eval can load them like-free
+        # (opt_state is optax namedtuples, unreconstructable without tx)
+        np_payload = _to_numpy_tree(payload)
+        flat, treedef = jax.tree.flatten(np_payload)
+        arrs = {str(i): a for i, a in enumerate(flat)}
+        for tag, key in (("P", "params"), ("S", "state")):
+            sub = np_payload.get(key)
+            if isinstance(sub, dict):
+                for kp, leaf in jax.tree_util.tree_flatten_with_path(sub)[0]:
+                    name = ".".join(str(getattr(e, "key", e)) for e in kp)
+                    arrs[f"{tag}:{name}"] = leaf
+        np.savez(os.path.join(path, "tree.npz"), **arrs)
         with open(os.path.join(path, "treedef.json"), "w") as f:
             json.dump(str(treedef), f)
     if metadata is not None:
@@ -60,11 +70,28 @@ def load_checkpoint(path: str, like: Any | None = None):
     npz = os.path.join(path, "tree.npz")
     if os.path.exists(npz):
         data = np.load(npz)
-        flat = [data[str(i)] for i in range(len(data.files))]
         if like is None:
-            raise ValueError(
-                f"{path} is a flat-npz fallback checkpoint; pass `like` "
-                "(an example pytree) to restore its structure")
+            # like-free load: the path-keyed params/state namespaces
+            # (weights-only — enough for eval/serving; resume passes
+            # `like` and gets the exact full train state)
+            out = {"params": {}, "state": {}}
+            for name in data.files:
+                if ":" not in name:
+                    continue
+                tag, dotted = name.split(":", 1)
+                dst = out["params" if tag == "P" else "state"]
+                *parents, leaf = dotted.split(".")
+                for p in parents:
+                    dst = dst.setdefault(p, {})
+                dst[leaf] = data[name]
+            if not out["params"]:
+                raise ValueError(
+                    f"{path} is a flat-npz checkpoint from before the "
+                    "path-keyed layout; pass `like` (an example pytree) "
+                    "to restore its structure")
+            return out
+        flat = [data[str(i)] for i in range(len(
+            [n for n in data.files if ":" not in n]))]
         treedef = jax.tree.structure(like)
         return jax.tree.unflatten(treedef, flat)
 

@@ -291,6 +291,7 @@ def test_cli_tp_training(fake_imagenet, tmp_path, capsys):
         "--mode", "train", "--shards_dir", shards,
         "--model", "ttnet_imagenet_small",
         "--nfilter", "8", "--tfilter", "4", "--layers", "0",  # p=32
+        "--model_arg", "num_classes=16",  # the 1000-class fc only slows it
         "--train_batch_size", "8", "--max_epochs", "1",
         "--mesh_data", "4", "--mesh_model", "2",
         "--log_interval", "1",

@@ -224,8 +224,20 @@ def test_multiproc_tp_train(fake_imagenet, tmp_path):
     # steps), same math modulo the classifier psum's f32 reassociation
     assert tp_loss == pytest.approx(dp_loss, rel=1e-3)
     # the coordinator (and only it) checkpointed the gathered TP state
-    assert list((tmp_path / "tp0" / "ckpt").rglob("step_*"))
+    steps = list((tmp_path / "tp0" / "ckpt").rglob("step_*"))
+    assert steps
     assert not list((tmp_path / "tp1" / "ckpt").rglob("step_*"))
+
+    # the TP-trained checkpoint (npz layout, gathered full arrays) is
+    # portable: a plain single-process eval loads it like-free
+    top1, top5 = main([
+        "--mode", "eval", "--shards_dir", shards, "--data_dir",
+        fake_imagenet, "--model", "ttnet_imagenet_small",
+        "--nfilter", "8", "--tfilter", "4", "--layers", "0",
+        "--model_arg", "num_classes=16",
+        "--eval_batch_size", "4", "--ckpt", str(sorted(steps)[-1]),
+        "--root_dir", str(tmp_path / "ev"), "--mesh_data", "1"])
+    assert 0.0 <= top1 <= 100.0
 
 
 def test_multiproc_train_step(fake_imagenet, tmp_path):

@@ -76,3 +76,43 @@ def test_resume_reproduces_trajectory(tmp_path):
         for a, b in zip(jax.tree.leaves(ref.params),
                         jax.tree.leaves(diverged.params)))
     assert diff, "momentum restore made no difference?"
+
+
+def test_npz_checkpoint_loads_like_free(tmp_path):
+    """The flat-npz layout (what multi-process runs write) must serve
+    eval WITHOUT an example pytree: params/state ride path-keyed; the
+    exact full train state still restores via `like` (resume)."""
+    from unittest import mock
+
+    import numpy as np
+    import jax
+
+    from scale_imagenet_tpu.runtime.checkpoint import load_checkpoint, \
+        save_checkpoint
+
+    payload = {
+        "params": {"conv1": {"weight": np.ones((3, 3, 4, 8), np.float32)},
+                   "bn": {"weight": np.arange(8).astype(np.float32),
+                          "bias": np.zeros(8, np.float32)}},
+        "state": {"bn": {"running_mean": np.full(8, 2.0, np.float32)}},
+        "opt_state": (np.zeros(3, np.float32),),
+        "step": np.asarray(7, np.int32),
+    }
+    path = str(tmp_path / "step_7")
+    with mock.patch.object(jax, "process_count", return_value=2):
+        save_checkpoint(path, payload)
+    assert (tmp_path / "step_7" / "tree.npz").exists()  # npz, not orbax
+
+    # like-free: weights-only view for eval/serving
+    out = load_checkpoint(path)
+    np.testing.assert_array_equal(out["params"]["conv1"]["weight"],
+                                  payload["params"]["conv1"]["weight"])
+    np.testing.assert_array_equal(out["state"]["bn"]["running_mean"],
+                                  payload["state"]["bn"]["running_mean"])
+    assert "opt_state" not in out
+
+    # with like: exact full structure (resume path)
+    full = load_checkpoint(path, like=payload)
+    assert int(full["step"]) == 7
+    np.testing.assert_array_equal(full["opt_state"][0],
+                                  payload["opt_state"][0])
