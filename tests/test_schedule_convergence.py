@@ -42,7 +42,7 @@ def test_generalization_artifact():
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
-                    reason="~10 min CPU training; set RUN_SLOW=1")
+                    reason="~20 min CPU training; set RUN_SLOW=1")
 def test_cpu_schedule_generalization():
     """Train across TWO MultiStepLR milestones on CPU: the val accuracy
     of a held-out split must clear a pinned threshold (calibrated run:
