@@ -54,3 +54,37 @@ def print_tree_shapes(tag: str, tree):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         print(f"[{tag}] {name}: {getattr(leaf, 'shape', ())} "
               f"{getattr(leaf, 'dtype', type(leaf).__name__)}")
+
+
+def tap_norm(tag: str, x, grad: bool = False):
+    """Debug hook replacing PrintNorm (model_utils/utils.py:147-163):
+    prints shape, value range and L2 norm of an intermediate — from
+    INSIDE jit, via ``jax.debug.print`` (a torch forward hook has no
+    functional analog; taps compose with jit/grad/shard_map instead).
+
+    ``grad=True`` additionally taps the cotangent flowing back through
+    this point (the backward-hook counterpart).  Returns ``x`` so the
+    tap inserts into an expression: ``h = tap_norm("block0", h)``.
+    """
+    import jax.numpy as jnp
+
+    def _tap(tag, v):
+        # shape is static at trace time — bake it into the format string
+        # (passing v.shape as an operand would print traced scalars)
+        jax.debug.print(
+            f"[{tag}] shape={v.shape} " + "min={mn:.4g} max={mx:.4g} "
+            "norm={n:.4g}",
+            mn=v.min(), mx=v.max(),
+            n=jnp.sqrt((v.astype(jnp.float32) ** 2).sum()))
+        return v
+
+    x = _tap(tag, x)
+    if grad:
+        @jax.custom_vjp
+        def _gtap(v):
+            return v
+
+        _gtap.defvjp(lambda v: (v, None),
+                     lambda _, ct: (_tap(f"{tag}:grad", ct),))
+        x = _gtap(x)
+    return x

@@ -323,3 +323,23 @@ def test_checkpoint_best_across_run_dirs(tmp_path):
     # 'last' link still points there)
     assert os.path.isdir(best1)
     assert os.path.realpath(str(parent / "run1" / "last")) == best1
+
+
+def test_tap_norm_prints_inside_jit(capfd):
+    """tap_norm (the PrintNorm debug hook, utils.py:147-163) reports
+    range/norm from inside jit, and the grad tap sees the cotangent."""
+    import jax
+    import jax.numpy as jnp
+
+    from scale_imagenet_tpu.utils.tracing import tap_norm
+
+    @jax.jit
+    def f(x):
+        return (tap_norm("mid", x, grad=True) ** 2).sum()
+
+    g = jax.grad(f)(jnp.arange(4.0))
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "[mid] shape=(4,)" in out and "norm=3.742" in out
+    assert "[mid:grad]" in out
+    assert float(g[2]) == 4.0
