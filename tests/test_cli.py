@@ -420,6 +420,13 @@ def test_cli_robust_train_flags(tmp_path, capsys):
     m = re.search(r"loss ([\d.]+)", out)
     assert m and np.isfinite(float(m.group(1))), out
 
+    # all three robustness losses compose in one CLI run
+    main(args + ["--stability_eps", "0.0078",
+                 "--root_dir", str(tmp_path / "all3")])
+    out = capsys.readouterr().out
+    m = re.search(r"loss ([\d.]+)", out)
+    assert m and np.isfinite(float(m.group(1))), out
+
     # the abstract loss refuses models without an interval forward
     with pytest.raises(ValueError, match="interval"):
         main(["--mode", "train", "--data_dir", str(tmp_path / "data"),
