@@ -172,10 +172,51 @@ def compile_multihead_lut(params, state, cfg: MultiHeadConfig) \
     return MultiHeadLUT(cfg=cfg, heads=heads, convf=convf)
 
 
+def _merge_sig(b: BlockLUT):
+    """Heads with equal signatures index the same windows (same idx
+    shape) and pack to same-shaped bit tables — their gathers can run as
+    ONE kernel call on the G-concatenated tables."""
+    c = b.cfg
+    if b.packed is None or b.packed.dtype != jnp.int32:
+        return None
+    return (c.k if not isinstance(c.k, list) else tuple(c.k), c.stride,
+            c.padding, c.groupsici, c.out_planes, c.in_planes,
+            b.packed.shape)
+
+
+def _merged_heads_apply(heads: list[BlockLUT], x_bits: jnp.ndarray, *,
+                        interpret: bool = False) -> list[jnp.ndarray]:
+    """One Pallas launch for k config-identical heads: their (B,H,W,G)
+    indices concatenate along G, their (G,F,S,128) tables likewise, and
+    the single (kG, E) gather replaces k kernel calls + 2k layout
+    transposes with one of each.  Bit-exact: channel order of the merged
+    output is head-major, i.e. exactly ``concat([out_1, .., out_k], -1)``.
+    """
+    from ..pallas.lut_gather import lut_gather_nhwc
+
+    cfg = heads[0].cfg
+    if cfg.padding != 0:
+        x_bits = constant_pad2d(x_bits, cfg.padding)
+    idxs = []
+    for h in heads:
+        idxs.append(jax.lax.conv_general_dilated(
+            x_bits, h.index_w.astype(x_bits.dtype),
+            window_strides=(cfg.stride, cfg.stride),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=cfg.groupsici,
+            preferred_element_type=jnp.float32).astype(jnp.int32))
+    idx = jnp.concatenate(idxs, axis=-1)                  # (B,H,W,kG)
+    packed = jnp.concatenate([h.packed for h in heads], axis=0)
+    out = lut_gather_nhwc(packed, idx, interpret=interpret,
+                          out_dtype=x_bits.dtype)         # (B,H,W,k*out)
+    return list(jnp.split(out, len(heads), axis=-1))
+
+
 def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
                         pallas: bool | None = None,
                         interpret: bool = False,
-                        convf_float=None):
+                        convf_float=None,
+                        merge_heads: bool = True):
     """Mirror of ``multihead_block`` with every Block_TT as a LUT.
 
     ``convf_float``: optional ``(params, state)`` of the fuse head.  A
@@ -184,11 +225,34 @@ def lut_multihead_apply(lut: MultiHeadLUT, x_bits: jnp.ndarray, *,
     table dominates LUT serving (measured: 195 of 239 ms/batch on the
     flagship).  When the block params are supplied, the float head runs
     as the (tiny) float conv it is — same function, conv-speed.
+
+    ``merge_heads``: config-identical heads (the flagship's heads 1+2 in
+    every block) share one Pallas launch on G-concatenated tables
+    (``_merged_heads_apply``) — bit-exact, fewer launches/transposes.
+    Applies only on the Pallas path.
     """
     cfg = lut.cfg
-    outs = {i: lut_block_tt_apply(lut.heads[i], x_bits, pallas=pallas,
-                                  interpret=interpret)
-            for i in sorted(lut.heads)}
+    order = sorted(lut.heads)
+    outs = {}
+    if merge_heads and order and _use_pallas(lut.heads[order[0]], pallas):
+        groups: dict = {}
+        for i in order:
+            groups.setdefault(_merge_sig(lut.heads[i]), []).append(i)
+        for sig, idxs_g in groups.items():
+            if sig is not None and len(idxs_g) > 1:
+                merged = _merged_heads_apply(
+                    [lut.heads[i] for i in idxs_g], x_bits,
+                    interpret=interpret)
+                outs.update(dict(zip(idxs_g, merged)))
+            else:
+                for i in idxs_g:
+                    outs[i] = lut_block_tt_apply(lut.heads[i], x_bits,
+                                                 pallas=pallas,
+                                                 interpret=interpret)
+    else:
+        outs = {i: lut_block_tt_apply(lut.heads[i], x_bits, pallas=pallas,
+                                      interpret=interpret)
+                for i in sorted(lut.heads)}
     # heaviside(avgpool2(bits) - 0.5) == [sum of the 4 bits >= 2] — the
     # T=0 deterministic form of the float path's rebinarize
     cat = reconcile_heads(

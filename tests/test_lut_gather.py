@@ -118,3 +118,38 @@ def test_odd_tile_rows_cap_large_e():
     out = lut_gather(packed, jnp.asarray(idx), tile_rows=12, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(out).reshape(-1)[:e], table[idx[0], 0])
+
+
+def test_merged_heads_single_launch_bit_exact():
+    """Config-identical heads merged into ONE gather call
+    (lut_multihead_apply merge_heads=True) are bit-identical to the
+    per-head path — the flagship's heads 1+2 share a signature in every
+    block, head 3 (different stride/groups) stays separate."""
+    from scale_imagenet_tpu.compile.lut_eval import (
+        _merge_sig, compile_multihead_lut, lut_multihead_apply)
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.models.multihead import multihead_block
+
+    m = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4, layers=0)
+    bcfg = m.config.block_configs()[0]
+    params, state = m.init(jax.random.PRNGKey(0))
+    bp, bs = params["block0"], state["block0"]
+    lut = compile_multihead_lut(bp, bs, bcfg)
+
+    sigs = {i: _merge_sig(h) for i, h in lut.heads.items()}
+    merge_groups = {}
+    for i, s in sigs.items():
+        merge_groups.setdefault(s, []).append(i)
+    assert any(len(v) > 1 for v in merge_groups.values()), sigs
+
+    hw = 56 if getattr(m.config, "image_size", 224) == 224 else 32
+    x = (jax.random.uniform(jax.random.PRNGKey(1),
+                            (2, hw, hw, bcfg.in_planes)) < 0.5
+         ).astype(jnp.float32)
+    ref = lut_multihead_apply(lut, x, pallas=False)
+    sep = lut_multihead_apply(lut, x, pallas=True, interpret=True,
+                              merge_heads=False)
+    mrg = lut_multihead_apply(lut, x, pallas=True, interpret=True,
+                              merge_heads=True)
+    np.testing.assert_array_equal(np.asarray(sep), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(mrg), np.asarray(ref))
