@@ -624,15 +624,17 @@ def main(argv=None):
                             seed=cfg.seed, rank=rank, world=world)
     steps_per_epoch = len(loader)
     if steps_per_epoch == 0:
-        # a silent 0-step "epoch" would look like a successful run; the
-        # usual cause multi-process is fewer shard FILES than ranks
-        # (round-robin assignment + lockstep truncation -> global 0)
+        # a silent 0-step "epoch" would look like a successful run
+        hint = ("multi-process shard training needs >= 1 shard FILE per "
+                "rank (round-robin assignment + lockstep truncation) — "
+                "rewrite with a smaller --shard_size, or shrink "
+                "--train_batch_size") if cfg.shards_dir else \
+            ("the train/ directory holds fewer images than one batch "
+             "(drop_last) — shrink --train_batch_size or add data")
         raise ValueError(
             f"0 train steps per epoch: rank {rank}'s data slice is "
             f"smaller than its local batch {local_tbs} (world={world}; "
-            "multi-process shard training needs >= 1 shard file per "
-            "rank — rewrite with a smaller --shard_size, or shrink "
-            "--train_batch_size)")
+            + hint + ")")
     # the reference recipe picks its MultiStepLR milestones by run length
     # (main.py:196-199: [30,60,90] for the 90-epoch run, else [60,100,140])
     milestones = (30, 60, 90) if cfg.max_epochs == 90 else (60, 100, 140)

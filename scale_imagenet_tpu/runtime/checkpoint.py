@@ -40,19 +40,24 @@ def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
         ckptr.save(os.path.join(path, "tree"), _to_numpy_tree(payload),
                    force=True)
     except Exception:
-        # flat-npz fallback: indexed leaves restore EXACT structure via
-        # `like` (full-train-state resume); params/state — plain nested
-        # dicts — ride along path-keyed so eval can load them like-free
-        # (opt_state is optax namedtuples, unreconstructable without tx)
+        # flat-npz fallback (format 2): params/state — plain nested
+        # dicts — are stored path-keyed ("P:a.b.c"), loadable with NO
+        # example pytree (eval/serving); the rest (opt_state = optax
+        # namedtuples, step, ...) is index-keyed and restores via `like`
+        # (full-train-state resume).  Every leaf is stored exactly once.
         np_payload = _to_numpy_tree(payload)
-        flat, treedef = jax.tree.flatten(np_payload)
-        arrs = {str(i): a for i, a in enumerate(flat)}
-        for tag, key in (("P", "params"), ("S", "state")):
-            sub = np_payload.get(key)
-            if isinstance(sub, dict):
-                for kp, leaf in jax.tree_util.tree_flatten_with_path(sub)[0]:
-                    name = ".".join(str(getattr(e, "key", e)) for e in kp)
-                    arrs[f"{tag}:{name}"] = leaf
+        arrs = {"__fmt__": np.asarray(2, np.int32)}
+        pathed = {k for k in ("params", "state")
+                  if isinstance(np_payload.get(k), dict)}
+        for key in pathed:
+            tag = "P" if key == "params" else "S"
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(
+                    np_payload[key])[0]:
+                name = ".".join(str(getattr(e, "key", e)) for e in kp)
+                arrs[f"{tag}:{name}"] = leaf
+        rest = {k: v for k, v in np_payload.items() if k not in pathed}
+        flat, treedef = jax.tree.flatten(rest)
+        arrs.update({str(i): a for i, a in enumerate(flat)})
         np.savez(os.path.join(path, "tree.npz"), **arrs)
         with open(os.path.join(path, "treedef.json"), "w") as f:
             json.dump(str(treedef), f)
@@ -90,10 +95,31 @@ def load_checkpoint(path: str, like: Any | None = None):
                     "path-keyed layout; pass `like` (an example pytree) "
                     "to restore its structure")
             return out
-        flat = [data[str(i)] for i in range(len(
-            [n for n in data.files if ":" not in n]))]
-        treedef = jax.tree.structure(like)
-        return jax.tree.unflatten(treedef, flat)
+        n_idx = len([n for n in data.files
+                     if ":" not in n and n != "__fmt__"])
+        flat = [data[str(i)] for i in range(n_idx)]
+        if "__fmt__" not in data.files:
+            # format 1: index keys cover the WHOLE payload
+            return jax.tree.unflatten(jax.tree.structure(like), flat)
+        # format 2: index keys cover the payload MINUS the path-keyed
+        # params/state; rebuild those by walking like's own paths so the
+        # restored structure (and any missing key) follows `like` exactly
+        pathed = {k for k in ("params", "state")
+                  if isinstance(like.get(k), dict)
+                  and any(n.startswith(("P:" if k == "params" else "S:"))
+                          for n in data.files)}
+        rest_like = {k: v for k, v in like.items() if k not in pathed}
+        out = dict(jax.tree.unflatten(jax.tree.structure(rest_like), flat))
+        for key in pathed:
+            tag = "P" if key == "params" else "S"
+            leaves = []
+            paths = jax.tree_util.tree_flatten_with_path(like[key])[0]
+            for kp, _ in paths:
+                name = ".".join(str(getattr(e, "key", e)) for e in kp)
+                leaves.append(data[f"{tag}:{name}"])
+            out[key] = jax.tree.unflatten(jax.tree.structure(like[key]),
+                                          leaves)
+        return out
 
     import orbax.checkpoint as ocp
 

@@ -297,6 +297,16 @@ def make_robust_train_step(model, tx, eps: float, coeff: float,
             sloss = sloss + aloss   # reported together, like the
             loss = loss + abstract_coeff * aloss  # reference's .loss
         if bias_coeff > 0:
+            if not bn_c.pairs:
+                # trace-time: the forward never called stats_bn, so the
+                # regularizer would silently contribute 0 forever — the
+                # flag-honesty rule (no accepted flag may do nothing)
+                raise ValueError(
+                    f"model {model.name} has no BatchNormStatsCallbak-"
+                    "style BN (stats_bn) in its forward; --bias_decay "
+                    "regularizes those internals only (the reference's "
+                    "BiasRegularizer target, netbin.py:786-864) — drop "
+                    "the flag for this model")
             loss = loss + bias_regularizer_loss(bn_c.pairs, bias_coeff,
                                                 bias_thresh)
         return loss, (new_state, logits, sloss)

@@ -271,3 +271,23 @@ def test_robust_step_abstract_and_bias_losses_act():
     with pytest.raises(ValueError, match="interval"):
         make_robust_train_step(m2, tx, eps=0.0, coeff=0.0,
                                abstract_eps=2 / 255, abstract_coeff=1e-2)
+
+
+def test_bias_decay_refuses_models_without_stats_bn():
+    """--bias_decay on a model whose forward never calls stats_bn must
+    raise (trace-time), not silently contribute 0 forever."""
+    from scale_imagenet_tpu.models import get_model
+    from scale_imagenet_tpu.train import TrainState, make_optimizer
+    from scale_imagenet_tpu.train.steps import make_robust_train_step
+
+    m = get_model("tt_fhe_small", nfilter=2, tfilter=2, num_classes=10)
+    params, state = m.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(lr=0.01, weight_decay=0.0, milestones=(1000,))
+    step = make_robust_train_step(m, tx, eps=0.0, coeff=0.0,
+                                  bias_coeff=1.0, bias_thresh=0.0)
+    ts = TrainState(params, state, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    y = jnp.zeros((2,), jnp.int32)
+    with pytest.raises(ValueError, match="stats_bn"):
+        step(ts, x, y, jax.random.PRNGKey(2))

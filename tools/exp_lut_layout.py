@@ -129,11 +129,10 @@ def transpose_tax(luts, bits):
     print("--- transpose-tax decomposition (deltas between prefixes) ---",
           flush=True)
     for bi, blk in enumerate(luts):
-        heads = {**{f"head{i}": h for i, h in blk.heads.items()}}
+        heads = {f"head{i}": h for i, h in blk.heads.items()}
         if blk.convf is not None and blk.convf.packed is not None \
                 and blk.convf.packed.dtype == jnp.int32:
             heads["convf"] = blk.convf
-        prev_ms = 0.0
         for hname, lut in heads.items():
             parts = []
             prev_ms = 0.0
