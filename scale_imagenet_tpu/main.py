@@ -99,6 +99,10 @@ def parse_args(argv=None):
     p.add_argument("--lut_path", type=str, default=None,
                    help="LUT archive (.npz): loaded if present, else "
                         "written after compilation")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="eval with BatchNorms folded into the preceding "
+                        "convs (bn_fuse.py algebra; composes with "
+                        "--bf16)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving: cast params + BN state to bfloat16 "
                         "for eval (+4%% throughput; argmax agreement "
@@ -448,6 +452,31 @@ def main(argv=None):
                              "they do not affect eval")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
+        if cfg.fold_bn:
+            # serve with BN folded into the convs (the reference's
+            # bn_fuse.py workflow, test_fused_quant_model.py:145-181);
+            # the folded tree runs through the unchanged apply fn
+            from .convert.bn_fold import conv_bn_pairs_resnet, \
+                conv_bn_pairs_ttnet_imagenet, fold_model_bns
+            from .models.resnet import ResNetConfig
+            from .models.ttnet_imagenet import TTnetImageNetConfig
+
+            if cfg.lut:
+                raise ValueError("--fold_bn rewrites conv-mode serving "
+                                 "weights; --lut serves integer tables "
+                                 "(BN is already inside them) — drop one")
+            if isinstance(model.config, TTnetImageNetConfig):
+                pairs = conv_bn_pairs_ttnet_imagenet(model.config)
+            elif isinstance(model.config, ResNetConfig):
+                pairs = conv_bn_pairs_resnet(model.config)
+            else:
+                raise ValueError(
+                    "--fold_bn knows the conv/BN pairing for the "
+                    "ttnet_imagenet and resnet families, not "
+                    f"{type(model.config).__name__}")
+            params, state = fold_model_bns(params, state, pairs)
+            if is_coord:
+                print(f"folded {len(pairs)} conv/BN pairs")
         if cfg.bf16:
             if cfg.lut:
                 raise ValueError(
@@ -576,6 +605,10 @@ def main(argv=None):
             "crop); the train path decodes with PIL, or pre-decode once "
             "with --write_shards and train from --shards_dir (on-device "
             "augmentation)")
+    if cfg.fold_bn:
+        raise ValueError("--fold_bn rewrites weights for SERVING "
+                         "(--mode eval); training needs live BN "
+                         "statistics")
     if cfg.tp:
         from .models.ttnet_imagenet import TTnetImageNetConfig
 

@@ -434,3 +434,31 @@ def test_cli_robust_train_flags(tmp_path, capsys):
               "--tfilter", "4", "--layers", "0", "--train_batch_size", "4",
               "--max_epochs", "1", "--root_dir", str(tmp_path),
               "--mesh_data", "1", "--abstract_eps", "0.0078"])
+
+
+def test_cli_fold_bn_eval(fake_imagenet, tmp_path):
+    """--fold_bn serves the BN-folded weights through the unchanged
+    apply fn (the reference's bn_fuse.py workflow): metrics equal the
+    unfused run; misuse raises with the right flag named."""
+    args = ["--mode", "eval", "--data_dir", fake_imagenet,
+            "--model", "ttnet_imagenet_xsmall",
+            "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+            "--eval_batch_size", "4", "--num_workers", "2",
+            "--root_dir", str(tmp_path), "--mesh_data", "1"]
+    base = main(args)
+    folded = main(args + ["--fold_bn"])
+    assert folded == pytest.approx(base, abs=1e-3)
+
+    with pytest.raises(ValueError, match="drop one"):
+        main(args + ["--fold_bn", "--lut"])
+    with pytest.raises(ValueError, match="conv/BN pairing"):
+        main(["--mode", "eval", "--data_dir", fake_imagenet,
+              "--model", "TT_FHE_SMALL", "--eval_batch_size", "4",
+              "--root_dir", str(tmp_path), "--mesh_data", "1",
+              "--fold_bn"])
+    with pytest.raises(ValueError, match="--fold_bn"):
+        main(["--mode", "train", "--data_dir", fake_imagenet,
+              "--model", "ttnet_imagenet_xsmall", "--nfilter", "4",
+              "--tfilter", "4", "--layers", "0", "--train_batch_size",
+              "4", "--max_epochs", "1", "--root_dir", str(tmp_path),
+              "--mesh_data", "1", "--fold_bn"])
