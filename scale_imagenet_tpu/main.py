@@ -405,6 +405,11 @@ def main(argv=None):
 
     if cfg.mode == "compile":
         # truth-table compilation: every Block_TT of every multi-head block
+        if cfg.fold_bn:
+            raise ValueError(
+                "--fold_bn rewrites conv-serving weights; truth-table "
+                "compilation evaluates the float blocks (their BNs are "
+                "inside the tables) — drop the flag")
         import json
 
         from .compile.truth_table import compile_model_truth_tables

@@ -138,6 +138,10 @@ def ttnet_imagenet_features(params, state, cfg: TTnetImageNetConfig, x,
         from ..pallas.stem import space_to_depth_stem
 
         x = space_to_depth_stem(x, params["stem_conv"]["weight"])
+        # the stem conv inits bias-free, but BN folding (--fold_bn)
+        # moves the stem BN's shift into a bias key — apply it
+        if "bias" in params["stem_conv"]:
+            x = x + params["stem_conv"]["bias"]
     else:
         x = avg_pool(x, 2)
         x = conv2d(params["stem_conv"], x, stride=2, padding=3)

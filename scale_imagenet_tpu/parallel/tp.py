@@ -89,6 +89,11 @@ def _tp_classifier(params, state, feats, training):
     collective -> replicated head.  Returns (logits, bn_state)."""
     partial_y = feats @ params["classifier"]["lin1"]["weight"]
     y = jax.lax.psum(partial_y, "model")
+    # lin1 inits bias-free; BN folding (--fold_bn) adds one — it is
+    # replicated over 'model', so it adds ONCE after the psum
+    b = params["classifier"]["lin1"].get("bias")
+    if b is not None:
+        y = y + b
     from ..layers.norm import batch_norm
     from ..ops.poly import polynome_act
 

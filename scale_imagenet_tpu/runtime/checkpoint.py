@@ -20,6 +20,18 @@ def _to_numpy_tree(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+# flat-npz path-keyed namespaces: which payload keys are stored by dotted
+# path (loadable with no example pytree) and their archive tag
+_PATHED_TAGS = {"params": "P", "state": "S"}
+
+
+def _pathed_items(tree):
+    """(dotted_name, leaf) pairs of a nested-dict pytree, in its canonical
+    flatten order — the single definition save and both load paths share."""
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        yield ".".join(str(getattr(e, "key", e)) for e in kp), leaf
+
+
 def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
     """Save a dict of pytrees (params/state/opt_state/step...) + metadata.
 
@@ -47,14 +59,11 @@ def save_checkpoint(path: str, payload: dict, metadata: dict | None = None):
         # (full-train-state resume).  Every leaf is stored exactly once.
         np_payload = _to_numpy_tree(payload)
         arrs = {"__fmt__": np.asarray(2, np.int32)}
-        pathed = {k for k in ("params", "state")
+        pathed = {k for k in _PATHED_TAGS
                   if isinstance(np_payload.get(k), dict)}
         for key in pathed:
-            tag = "P" if key == "params" else "S"
-            for kp, leaf in jax.tree_util.tree_flatten_with_path(
-                    np_payload[key])[0]:
-                name = ".".join(str(getattr(e, "key", e)) for e in kp)
-                arrs[f"{tag}:{name}"] = leaf
+            for name, leaf in _pathed_items(np_payload[key]):
+                arrs[f"{_PATHED_TAGS[key]}:{name}"] = leaf
         rest = {k: v for k, v in np_payload.items() if k not in pathed}
         flat, treedef = jax.tree.flatten(rest)
         arrs.update({str(i): a for i, a in enumerate(flat)})
@@ -79,12 +88,13 @@ def load_checkpoint(path: str, like: Any | None = None):
             # like-free load: the path-keyed params/state namespaces
             # (weights-only — enough for eval/serving; resume passes
             # `like` and gets the exact full train state)
-            out = {"params": {}, "state": {}}
+            tag2key = {v: k for k, v in _PATHED_TAGS.items()}
+            out = {k: {} for k in _PATHED_TAGS}
             for name in data.files:
                 if ":" not in name:
                     continue
                 tag, dotted = name.split(":", 1)
-                dst = out["params" if tag == "P" else "state"]
+                dst = out[tag2key[tag]]
                 *parents, leaf = dotted.split(".")
                 for p in parents:
                     dst = dst.setdefault(p, {})
@@ -104,19 +114,15 @@ def load_checkpoint(path: str, like: Any | None = None):
         # format 2: index keys cover the payload MINUS the path-keyed
         # params/state; rebuild those by walking like's own paths so the
         # restored structure (and any missing key) follows `like` exactly
-        pathed = {k for k in ("params", "state")
+        pathed = {k for k in _PATHED_TAGS
                   if isinstance(like.get(k), dict)
-                  and any(n.startswith(("P:" if k == "params" else "S:"))
+                  and any(n.startswith(_PATHED_TAGS[k] + ":")
                           for n in data.files)}
         rest_like = {k: v for k, v in like.items() if k not in pathed}
         out = dict(jax.tree.unflatten(jax.tree.structure(rest_like), flat))
         for key in pathed:
-            tag = "P" if key == "params" else "S"
-            leaves = []
-            paths = jax.tree_util.tree_flatten_with_path(like[key])[0]
-            for kp, _ in paths:
-                name = ".".join(str(getattr(e, "key", e)) for e in kp)
-                leaves.append(data[f"{tag}:{name}"])
+            leaves = [data[f"{_PATHED_TAGS[key]}:{name}"]
+                      for name, _ in _pathed_items(like[key])]
             out[key] = jax.tree.unflatten(jax.tree.structure(like[key]),
                                           leaves)
         return out

@@ -449,6 +449,19 @@ def test_cli_fold_bn_eval(fake_imagenet, tmp_path):
     folded = main(args + ["--fold_bn"])
     assert folded == pytest.approx(base, abs=1e-3)
 
+    # composes with channel-group TP: the folded stem/classifier biases
+    # ride the sharded tree (stem bias model-sharded, lin1 bias
+    # replicated + added once post-psum)
+    tp_args = ["--mode", "eval", "--data_dir", fake_imagenet,
+               "--model", "ttnet_imagenet_small",
+               "--nfilter", "8", "--tfilter", "4", "--layers", "0",
+               "--eval_batch_size", "4", "--num_workers", "2",
+               "--root_dir", str(tmp_path / "tp"),
+               "--mesh_data", "2", "--mesh_model", "2"]
+    dp = main(tp_args + ["--fold_bn"])
+    tp = main(tp_args + ["--fold_bn", "--tp"])
+    assert tp == pytest.approx(dp, abs=1e-3)
+
     with pytest.raises(ValueError, match="drop one"):
         main(args + ["--fold_bn", "--lut"])
     with pytest.raises(ValueError, match="conv/BN pairing"):

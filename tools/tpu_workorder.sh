@@ -8,21 +8,23 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 # 0. liveness (cheap)
-timeout 240 python bench.py --probe || exit 1
+timeout 240 python -u bench.py --probe || exit 1
 
-# 1. headline + extras live (validates BENCH_r04's live path; ~10 min)
-timeout 2400 python bench.py > /tmp/wo_bench.json 2>/tmp/wo_bench.err
+# 1. headline + extras live — outer cap must exceed bench.py's own
+#    worst-case retry budget (~7000 s) or a flapping tunnel kills it
+#    before its guaranteed fallback JSON line
+timeout 7200 python -u bench.py > /tmp/wo_bench.json 2>/tmp/wo_bench.err
 
 # 2. flagship serving refresh with merged heads (writes serve_bench.json)
-timeout 2400 python tools/bench_serve.py > /tmp/wo_serve.log 2>&1
+timeout 2400 python -u tools/bench_serve.py > /tmp/wo_serve.log 2>&1
 
 # 3. FHE family incl. the XLA-gather B=1 lever (writes serve_bench_fhe.json)
-timeout 1800 python tools/bench_serve_fhe.py > /tmp/wo_fhe.log 2>&1
+timeout 1800 python -u tools/bench_serve_fhe.py > /tmp/wo_fhe.log 2>&1
 
 # 4. transpose-tax decomposition (block0 heads)
-timeout 1800 python tools/exp_lut_layout.py --tax > /tmp/wo_tax.log 2>&1
+timeout 1800 python -u tools/exp_lut_layout.py --tax > /tmp/wo_tax.log 2>&1
 
 # 5. chip generalization artifact (64^2, 100 epochs, all 3 milestones)
-timeout 5400 python tools/train_generalization.py > /tmp/wo_gen.log 2>&1
+timeout 5400 python -u tools/train_generalization.py > /tmp/wo_gen.log 2>&1
 
 echo WORKORDER-DONE
