@@ -348,4 +348,61 @@ long ttlogic_count_gates(const uint32_t* terms, int n_terms, int n) {
     return gates;
 }
 
+// Bit-sliced gate-level evaluation of per-filter cube covers — the
+// deployment runtime for compiled networks (compile/gate_net.py): the
+// minimized DNF of each filter runs as word-parallel AND/OR/NOT over
+// 64 samples/positions per machine word, i.e. exactly the boolean
+// circuit the published gate counts meter (and the form an FHE or
+// hardware backend executes).
+//   planes:  n x words, plane p = pattern bit p of every position
+//   terms:   flattened (value, mask) pairs for all filters
+//   offsets: n_filters+1 term offsets into `terms`
+//   out:     n_filters x words (written)
+// Returns the number of literal word-ops executed (throughput meter),
+// or -1 on bad arguments.  An empty cover is constant-false; a cube
+// with every bit don't-care is constant-true.
+extern "C" long ttlogic_eval_covers(int n, long words,
+                                    const uint64_t* planes,
+                                    const uint32_t* terms,
+                                    const int64_t* offsets, int n_filters,
+                                    uint64_t* out) {
+    if (n <= 0 || n > 32 || words <= 0 || n_filters < 0) return -1;
+    std::vector<uint64_t> tmp((size_t)words);
+    long ops = 0;
+    const uint32_t all_mask = (n == 32) ? 0xffffffffu
+                                        : ((1u << n) - 1u);
+    for (int f = 0; f < n_filters; ++f) {
+        uint64_t* acc = out + (long)f * words;
+        std::memset(acc, 0, sizeof(uint64_t) * (size_t)words);
+        for (int64_t t = offsets[f]; t < offsets[f + 1]; ++t) {
+            const uint32_t value = terms[2 * t];
+            const uint32_t mask = terms[2 * t + 1] & all_mask;
+            bool first = true;
+            for (int p = 0; p < n; ++p) {
+                if ((mask >> p) & 1) continue;
+                const uint64_t* row = planes + (long)p * words;
+                if (first) {
+                    if ((value >> p) & 1)
+                        std::memcpy(tmp.data(), row,
+                                    sizeof(uint64_t) * (size_t)words);
+                    else
+                        for (long w = 0; w < words; ++w) tmp[w] = ~row[w];
+                    first = false;
+                } else {
+                    if ((value >> p) & 1)
+                        for (long w = 0; w < words; ++w) tmp[w] &= row[w];
+                    else
+                        for (long w = 0; w < words; ++w) tmp[w] &= ~row[w];
+                }
+                ops += words;
+            }
+            if (first)  // tautological cube
+                std::memset(tmp.data(), 0xff,
+                            sizeof(uint64_t) * (size_t)words);
+            for (long w = 0; w < words; ++w) acc[w] |= tmp[w];
+        }
+    }
+    return ops;
+}
+
 }  // extern "C"

@@ -27,8 +27,28 @@ from .lut_eval import (
     lut_ttnet_vgg_stem_apply,
 )
 from .lut_store import load_luts, params_digest, save_luts
+from .gate_net import (
+    compile_block_gates,
+    compile_multihead_gates,
+    compile_tt_fhe_gates,
+    compile_ttnet_gates,
+    gate_block_apply,
+    gate_multihead_apply,
+    gate_tt_fhe_apply,
+    gate_ttnet_apply,
+    total_gates,
+)
 
 __all__ = [
+    "compile_block_gates",
+    "compile_multihead_gates",
+    "compile_tt_fhe_gates",
+    "compile_ttnet_gates",
+    "gate_block_apply",
+    "gate_multihead_apply",
+    "gate_tt_fhe_apply",
+    "gate_ttnet_apply",
+    "total_gates",
     "compile_block_tt_lut",
     "compile_multihead_lut",
     "compile_tt_fhe_lut",

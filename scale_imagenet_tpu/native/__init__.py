@@ -10,6 +10,7 @@ from .ttlogic import (
     terms_to_dnf,
     native_available,
     eval_packed_table,
+    eval_covers,
     expand_cover,
     pack_table_bits,
     count_term_gates,
@@ -21,6 +22,7 @@ __all__ = [
     "terms_to_dnf",
     "native_available",
     "eval_packed_table",
+    "eval_covers",
     "expand_cover",
     "pack_table_bits",
     "count_term_gates",

@@ -57,6 +57,13 @@ def _load():
             lib.ttlogic_verify_cover.argtypes = [
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
+            lib.ttlogic_eval_covers.restype = ctypes.c_long
+            lib.ttlogic_eval_covers.argtypes = [
+                ctypes.c_int, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64)]
             _lib = lib
         except Exception:
             _lib = None
@@ -226,6 +233,58 @@ def verify_cover(packed: np.ndarray, terms, n: int) -> int:
     for v, m in terms:
         got |= ((idx ^ v) & ~np.uint32(m)) == 0
     return int((bits != got).sum())
+
+
+def eval_covers(planes: np.ndarray, covers: list, n: int) -> np.ndarray:
+    """Bit-sliced gate-level evaluation of per-filter cube covers.
+
+    ``planes``: (n, words) uint64 — plane p holds pattern bit p of every
+    sample/position, 64 per word (little-endian: position 64*w + i is bit
+    i of word w).  ``covers``: one (T, 2) uint32 (value, mask) array per
+    filter.  Returns (n_filters, words) uint64 — each filter's minimized
+    DNF evaluated as word-parallel AND/OR/NOT, the boolean-circuit
+    semantics the published gate counts meter.
+
+    Python fallback (no toolchain): same word-parallel evaluation via
+    numpy bit ops.
+    """
+    planes = np.ascontiguousarray(planes, dtype=np.uint64)
+    words = planes.shape[1]
+    offsets = np.zeros(len(covers) + 1, dtype=np.int64)
+    for i, c in enumerate(covers):
+        offsets[i + 1] = offsets[i] + len(c)
+    if offsets[-1]:
+        flat = np.concatenate(
+            [np.asarray(c, dtype=np.uint32).reshape(-1, 2) for c in covers
+             if len(c)]).reshape(-1)
+    else:
+        flat = np.zeros(2, dtype=np.uint32)
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    out = np.zeros((len(covers), words), dtype=np.uint64)
+    lib = _load()
+    if lib is not None:
+        rc = lib.ttlogic_eval_covers(
+            n, words,
+            planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(covers),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        if rc >= 0:
+            return out
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    all_mask = (1 << n) - 1
+    for f, cover in enumerate(covers):
+        acc = out[f]
+        for value, mask in np.asarray(cover, dtype=np.uint64).reshape(-1, 2):
+            value, mask = int(value), int(mask) & all_mask
+            tmp = np.full(words, ones, dtype=np.uint64)
+            for p in range(n):
+                if (mask >> p) & 1:
+                    continue
+                tmp &= planes[p] if (value >> p) & 1 else ~planes[p]
+            acc |= tmp
+    return out
 
 
 def count_term_gates(terms, n: int) -> int:
