@@ -99,6 +99,13 @@ def parse_args(argv=None):
     p.add_argument("--lut_path", type=str, default=None,
                    help="LUT archive (.npz): loaded if present, else "
                         "written after compilation")
+    p.add_argument("--gates", choices=["dnf", "cnf"], default=None,
+                   help="serve eval as the compiled boolean CIRCUIT "
+                        "(compile/gate_net.py): every Heaviside filter "
+                        "runs as its verified minimal cube cover — "
+                        "word-parallel AND/OR/NOT on the host, the "
+                        "FHE/hardware deployment semantics (for "
+                        "verification, not speed)")
     p.add_argument("--fold_bn", action="store_true",
                    help="eval with BatchNorms folded into the preceding "
                         "convs (bn_fuse.py algebra; composes with "
@@ -327,6 +334,66 @@ def _as_lut_model(model, params, state, lut_path=None, save_ok=True):
     return _LutModel()
 
 
+def _gate_family(config):
+    """(compile_fn, apply_fn) for gate-circuit serving, or a clear error
+    for families without one (mirrors ``_lut_family``)."""
+    from . import compile as C
+    from .models.tt_fhe import TTFHEConfig
+    from .models.ttnet_imagenet import TTnetImageNetConfig
+
+    if isinstance(config, TTnetImageNetConfig):
+        return C.compile_ttnet_gates, C.gate_ttnet_apply
+    if isinstance(config, TTFHEConfig):
+        return C.compile_tt_fhe_gates, C.gate_tt_fhe_apply
+    raise ValueError("--gates serving supports the ttnet_imagenet and "
+                     f"TT_FHE families, not {type(config).__name__}")
+
+
+def _as_gate_model(model, params, state, form: str):
+    """Wrap a model as its gate-circuit serving twin: ``apply`` executes
+    the minimized covers on the host (native bit-sliced evaluator) — the
+    deployment semantics of the compiled artifacts, bit-identical to LUT
+    serving on the boolean blocks."""
+    from .compile.gate_net import total_gates
+
+    compile_fn, gate_apply = _gate_family(model.config)
+    print("compiling gate circuits (truth tables -> verified covers)...")
+    gnets = compile_fn(params, state, model.config)
+    print(f"circuit size: {total_gates(gnets):,} gates ({form} form)")
+
+    class _GateModel:
+        name = model.name + "+gates"
+        config = model.config
+
+        @staticmethod
+        def apply(params, state, x, training=False, key=None):
+            del training, key
+            return gate_apply(gnets, params, state, model.config,
+                              x.astype(jnp.float32), form=form), state
+
+    return _GateModel()
+
+
+def _make_gate_eval_step(model, normalize=None):
+    """Host (unjitted) eval step for gate-circuit serving: the circuit
+    walk is numpy/native code, so the step runs eagerly with the same
+    pad-masked metric contract as ``make_eval_step``."""
+    from .train.losses import masked_metric_sums
+    from .train.steps import make_input_pipeline
+
+    prepare = make_input_pipeline(normalize)
+
+    def step(params, state, images, labels):
+        images, _ = prepare(images)
+        logits, _ = model.apply(params, state, images, training=False)
+        nll_sum, (c1, c5), n = masked_metric_sums(logits, labels)
+        denom = jnp.maximum(n, 1.0)
+        return {"loss": nll_sum / denom, "top1": 100.0 * c1 / denom,
+                "top5": 100.0 * c5 / denom, "n": n}
+
+    return step
+
+
 def _pick_transforms(model):
     """(eval_tfm, train_tfm) for directory datasets, by the model's
     native resolution: the ImageNet 256→224 pipeline for 224² models,
@@ -410,6 +477,10 @@ def main(argv=None):
                 "--fold_bn rewrites conv-serving weights; truth-table "
                 "compilation evaluates the float blocks (their BNs are "
                 "inside the tables) — drop the flag")
+        if cfg.gates:
+            raise ValueError(
+                "--gates is an eval serving mode (--mode eval --gates "
+                "dnf|cnf); --mode compile writes the artifacts it runs")
         import json
 
         from .compile.truth_table import compile_model_truth_tables
@@ -455,6 +526,28 @@ def main(argv=None):
             raise ValueError("--stability_eps/--abstract_eps/--bias_decay "
                              "enable robust TRAINING (--mode train); "
                              "they do not affect eval")
+        if cfg.gates:
+            if cfg.lut:
+                raise ValueError("--gates and --lut are two serving modes "
+                                 "for the same compiled network — pick "
+                                 "one")
+            if cfg.tp:
+                raise ValueError("--gates is the HOST circuit runtime; "
+                                 "mesh-sharded compiled serving is "
+                                 "--tp --lut")
+            if cfg.bf16:
+                raise ValueError("--gates executes boolean covers (its "
+                                 "float stem/classifier stay f32); "
+                                 "--bf16 cannot apply")
+            if cfg.fold_bn:
+                raise ValueError("--fold_bn perturbs pre-Heaviside "
+                                 "values at float precision, which can "
+                                 "flip truth-table rows; gate circuits "
+                                 "compile from the unfolded model — "
+                                 "drop --fold_bn")
+            if world > 1:
+                raise ValueError("--gates is a single-host verification "
+                                 "runtime; drop --num_processes")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         if cfg.fold_bn:
@@ -495,6 +588,8 @@ def main(argv=None):
             model = _as_lut_model(model, params, state, cfg.lut_path,
                                   save_ok=is_coord)
             params = model.wrap_params(params)
+        if cfg.gates:
+            model = _as_gate_model(model, params, state, cfg.gates)
 
         # input source — each process loads 1/world of every global batch
         if cfg.eval_batch_size % world:
@@ -533,7 +628,10 @@ def main(argv=None):
                                 drop_last=False, rank=rank, world=world)
 
         # step flavor
-        if cfg.tp:
+        if cfg.gates:
+            # host circuit runtime — numpy/native inside, so no jit
+            eval_step = _make_gate_eval_step(model, normalize=normalize)
+        elif cfg.tp:
             from .parallel.tp import make_tp_eval_step, \
                 make_tp_lut_eval_step, shard_luts_tp, shard_params_tp
 
@@ -601,6 +699,10 @@ def main(argv=None):
             "--lut is a serving mode: train the float model, then serve "
             "its compiled tables with --mode eval --lut (or export them "
             "with --mode compile)")
+    if cfg.gates:
+        raise ValueError(
+            "--gates is a serving mode: train the float model, then "
+            "serve its boolean circuit with --mode eval --gates dnf|cnf")
     if cfg.bf16:
         raise ValueError("--bf16 is bf16 *serving* (eval); bf16 "
                          "mixed-precision training is --amp")

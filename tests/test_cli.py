@@ -475,3 +475,53 @@ def test_cli_fold_bn_eval(fake_imagenet, tmp_path):
               "--tfilter", "4", "--layers", "0", "--train_batch_size",
               "4", "--max_epochs", "1", "--root_dir", str(tmp_path),
               "--mesh_data", "1", "--fold_bn"])
+
+
+def test_cli_gate_eval(tmp_path):
+    """--gates serves the compiled boolean circuit through the real CLI:
+    gate-mode eval (DNF and CNF encodings) matches conv-mode eval on the
+    same data, and the mode-mix guards reject nonsense combinations."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    root = tmp_path / "fake_cifar"
+    rng = np.random.default_rng(5)
+    for c in range(2):
+        d = root / "val" / f"c{c}"
+        d.mkdir(parents=True)
+        for i in range(5):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"i{i}.png")
+
+    args = ["--mode", "eval", "--data_dir", str(root),
+            "--model", "TT_FHE_SMALL", "--nfilter", "4", "--tfilter", "4",
+            "--eval_batch_size", "4", "--num_workers", "1",
+            "--root_dir", str(tmp_path), "--mesh_data", "1"]
+    conv = main(args)
+    assert main(args + ["--gates", "dnf"]) == conv
+    assert main(args + ["--gates", "cnf"]) == conv
+
+    with pytest.raises(ValueError, match="pick one"):
+        main(args + ["--gates", "dnf", "--lut"])
+    with pytest.raises(ValueError, match="HOST circuit"):
+        main(args + ["--gates", "dnf", "--tp"])
+    with pytest.raises(ValueError, match="boolean covers"):
+        main(args + ["--gates", "dnf", "--bf16"])
+    with pytest.raises(ValueError, match="unfolded"):
+        main(args + ["--gates", "dnf", "--fold_bn"])
+    with pytest.raises(ValueError, match="ttnet_imagenet and TT_FHE"):
+        main(["--mode", "eval", "--data_dir", str(root),
+              "--model", "resnet18", "--eval_batch_size", "4",
+              "--root_dir", str(tmp_path), "--mesh_data", "1",
+              "--gates", "dnf"])
+    with pytest.raises(ValueError, match="serving mode"):
+        main(["--mode", "train", "--data_dir", str(root),
+              "--model", "TT_FHE_SMALL", "--nfilter", "4", "--tfilter",
+              "4", "--train_batch_size", "4", "--max_epochs", "1",
+              "--root_dir", str(tmp_path), "--mesh_data", "1",
+              "--gates", "dnf"])
+    with pytest.raises(ValueError, match="writes the artifacts"):
+        main(["--mode", "compile", "--model", "TT_FHE_SMALL",
+              "--nfilter", "4", "--tfilter", "4",
+              "--compile_out", str(tmp_path / "tt"),
+              "--root_dir", str(tmp_path), "--gates", "dnf"])
