@@ -99,6 +99,13 @@ def parse_args(argv=None):
     p.add_argument("--lut_path", type=str, default=None,
                    help="LUT archive (.npz): loaded if present, else "
                         "written after compilation")
+    p.add_argument("--certify", type=float, default=0.0,
+                   help="certified eval: also report certified top-1 %% "
+                        "under an L-inf eps-ball of this radius in [0,1] "
+                        "pixel units — sound interval bound propagation "
+                        "through the WHOLE model to the logits "
+                        "(tt_certif / cifar10lownoise / model_general "
+                        "families)")
     p.add_argument("--gates", choices=["dnf", "cnf"], default=None,
                    help="serve eval as the compiled boolean CIRCUIT "
                         "(compile/gate_net.py): every Heaviside filter "
@@ -481,6 +488,8 @@ def main(argv=None):
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
                 "dnf|cnf); --mode compile writes the artifacts it runs")
+        if cfg.certify > 0:
+            raise ValueError("--certify is certified EVAL (--mode eval)")
         import json
 
         from .compile.truth_table import compile_model_truth_tables
@@ -548,6 +557,15 @@ def main(argv=None):
             if world > 1:
                 raise ValueError("--gates is a single-host verification "
                                  "runtime; drop --num_processes")
+        if cfg.certify > 0:
+            for flag, name in ((cfg.lut, "--lut"), (cfg.gates, "--gates"),
+                               (cfg.bf16, "--bf16"),
+                               (cfg.fold_bn, "--fold_bn"),
+                               (cfg.tp, "--tp")):
+                if flag:
+                    raise ValueError(
+                        "--certify propagates float intervals through "
+                        f"the unmodified f32 model; {name} cannot apply")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         if cfg.fold_bn:
@@ -597,6 +615,7 @@ def main(argv=None):
                              f"divisible by {world} processes")
         local_bs = cfg.eval_batch_size // world
         normalize = None
+        certify_stats = None   # pixel-space (mean, std) for --certify
         if cfg.shards_dir:
             from .data.shards import shard_loader
             from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
@@ -604,10 +623,16 @@ def main(argv=None):
             loader = shard_loader(cfg.shards_dir, local_bs,
                                   drop_last=False, rank=rank, world=world)
             normalize = (IMAGENET_MEAN, IMAGENET_STD)
+            certify_stats = normalize
             if is_coord:
                 print(f"eval shards: {len(loader.dataset)} images")
         else:
             eval_tfm, _ = _pick_transforms(model)
+            from .data.transforms import CIFAR_MEAN, CIFAR_STD, \
+                IMAGENET_MEAN as _IM, IMAGENET_STD as _IS
+            certify_stats = (_IM, _IS) \
+                if eval_tfm is imagenet_eval_transform \
+                else (CIFAR_MEAN, CIFAR_STD)
             if cfg.native_data:
                 if eval_tfm is not imagenet_eval_transform:
                     raise ValueError("--native_data is the 256->224 "
@@ -666,7 +691,9 @@ def main(argv=None):
             # folded in per batch inside the step.
             eval_step = make_eval_step(model, mesh,
                                        key=jax.random.PRNGKey(cfg.seed),
-                                       normalize=normalize)
+                                       normalize=normalize,
+                                       certify_eps=cfg.certify,
+                                       certify_stats=certify_stats)
 
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
         # pad the final short batch (equal-length on every rank by the
@@ -680,12 +707,17 @@ def main(argv=None):
                 padded, assemble=lambda im, lb: global_batch(mesh, im, lb))
         else:
             feed = device_prefetch(padded, sharding=shardings)
-        top1, top5, loss = evaluate(
+        res = evaluate(
             eval_step, params, state, feed, logger=logger,
             log_interval=cfg.log_interval, verbose=is_coord)
+        top1, top5, loss = res[:3]
         if is_coord:
             print(f"final: top1 {top1:.3f}% top5 {top5:.3f}% "
-                  f"loss {loss:.4f}")
+                  f"loss {loss:.4f}"
+                  + (f" certified@eps={cfg.certify:g} {res[3]:.3f}%"
+                     if len(res) > 3 else ""))
+        if len(res) > 3:
+            return top1, top5, res[3]
         return top1, top5
 
     # train mode
@@ -703,6 +735,10 @@ def main(argv=None):
         raise ValueError(
             "--gates is a serving mode: train the float model, then "
             "serve its boolean circuit with --mode eval --gates dnf|cnf")
+    if cfg.certify > 0:
+        raise ValueError(
+            "--certify is certified EVAL; robust training is "
+            "--abstract_eps/--stability_eps/--bias_decay")
     if cfg.bf16:
         raise ValueError("--bf16 is bf16 *serving* (eval); bf16 "
                          "mixed-precision training is --amp")

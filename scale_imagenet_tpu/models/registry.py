@@ -30,6 +30,12 @@ class ModelDef:
     # Present only on models whose forward propagates AbstractTensor in the
     # reference (the cifar10lownoise robust-training family).
     interval_loss: Callable | None = None
+    # sound logit bounds under a clipped L-inf eps-ball:
+    # interval_logits(params, state, x, eps, inputs_min, inputs_max)
+    # -> robust.interval.Interval over the logits — the per-image
+    # robustness certificate behind --certify (extends the reference's
+    # loss-only AbstractTensor to full certification).
+    interval_logits: Callable | None = None
 
 
 def _ttnet_imagenet(name: str, variant: str):
@@ -106,8 +112,20 @@ def _register_extended():
         reg[f"resnet{depth}"] = mk(depth)
         reg[f"resnet{depth}_cifar"] = mk(depth, True)  # noqa: B023
 
-    reg["tt_certif"] = _simple("tt_certif", TTCertifConfig, init_tt_certif,
-                               tt_certif_apply)
+    from .tt_certif import tt_certif_interval_logits, \
+        tt_certif_interval_loss
+
+    def mk_certif(**kwargs):
+        md = _simple("tt_certif", TTCertifConfig, init_tt_certif,
+                     tt_certif_apply)(**kwargs)
+        return dataclasses.replace(
+            md,
+            interval_loss=lambda p, s, x, eps, lo=0.0, hi=1.0:
+                tt_certif_interval_loss(p, s, md.config, x, eps, lo, hi),
+            interval_logits=lambda p, s, x, eps, lo=0.0, hi=1.0:
+                tt_certif_interval_logits(p, s, md.config, x, eps, lo, hi))
+
+    reg["tt_certif"] = mk_certif
     reg["TT_certif"] = reg["tt_certif"]
 
     from .tt_fhe import FHE_MODELS
@@ -249,10 +267,26 @@ def _register_extended():
     reg["TT_general_correctBN_cifar"] = mk_correctbn(
         "TT_general_correctBN_cifar", 32)
 
-    reg["model_general"] = _simple("model_general", ModelGeneralConfig,
-                                   init_model_general, model_general_apply,
-                                   returns_aux=True)
-    from .ttnet_cifar import cifar10lownoise_interval_loss
+    from .ttnet_cifar import (cifar10lownoise_interval_logits,
+                              cifar10lownoise_interval_loss,
+                              model_general_interval_logits,
+                              model_general_interval_loss)
+
+    def mk_model_general(**kwargs):
+        md = _simple("model_general", ModelGeneralConfig,
+                     init_model_general, model_general_apply,
+                     returns_aux=True)(**kwargs)
+        return dataclasses.replace(
+            md,
+            interval_loss=lambda p, s, x, eps, lo=0.0, hi=1.0:
+                model_general_interval_loss(p, s, md.config, x, eps,
+                                            inputs_min=lo, inputs_max=hi),
+            interval_logits=lambda p, s, x, eps, lo=0.0, hi=1.0:
+                model_general_interval_logits(p, s, md.config, x, eps,
+                                              inputs_min=lo,
+                                              inputs_max=hi))
+
+    reg["model_general"] = mk_model_general
 
     def mk_lownoise(**kwargs):
         md = _simple("cifar10lownoise", Cifar10LowNoiseConfig,
@@ -262,7 +296,11 @@ def _register_extended():
             md,
             interval_loss=lambda p, s, x, eps, lo=0.0, hi=1.0:
                 cifar10lownoise_interval_loss(p, s, md.config, x, eps,
-                                              inputs_min=lo, inputs_max=hi))
+                                              inputs_min=lo, inputs_max=hi),
+            interval_logits=lambda p, s, x, eps, lo=0.0, hi=1.0:
+                cifar10lownoise_interval_logits(p, s, md.config, x, eps,
+                                                inputs_min=lo,
+                                                inputs_max=hi))
 
     reg["cifar10lownoise"] = mk_lownoise
     return reg

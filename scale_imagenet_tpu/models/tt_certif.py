@@ -221,3 +221,100 @@ def tt_certif_apply(params, state, cfg: TTCertifConfig, x, training=False,
 
         return bin_linear(params["fc"], x, abs_weight=True), new_state
     return linear(params["fc"], x), new_state
+
+
+# ---------------------------------------------------------------------------
+# Certified robustness: interval forward to the LOGITS.
+#
+# The reference's AbstractTensor walk (netbin.py:84-129, duplicated in
+# TT_certif.py:45-90) stops at a stabilization loss over the features; this
+# extends it through the certif blocks (incl. GELU and the noisy dead-zone
+# Heaviside, which its per-op dispatch never covered) and the classifier,
+# yielding sound per-class logit bounds under an L-inf eps-ball — hence a
+# per-image robustness CERTIFICATE (runtime/CLI: --certify).
+
+def _interval_certif_block(params, state, cfg: CertifBlockConfig, iv):
+    from ..robust.interval import (Interval, interval_avg_pool,
+                                   interval_block_tt, interval_struct)
+
+    heads = cfg.head_cfgs()
+    in_loss = iv.loss
+    out1 = interval_block_tt(params["conv1"], state["conv1"], heads[1], iv)
+    out2 = interval_block_tt(params["conv2"], state["conv2"], heads[2], iv)
+    out4 = iv if cfg.stride == 1 else interval_avg_pool(iv, 2)
+
+    crops, pads = _fixups(iv.vmin.shape[2], cfg.stride)
+    if crops.get(1):
+        out1 = interval_struct(out1, lambda v: v[:, :-1, :-1, :])
+    if crops.get(4):
+        out4 = interval_struct(out4, lambda v: v[:, :-1, :-1, :])
+    for idx, pad in pads.items():
+        if idx == 4:
+            out4 = interval_struct(out4, lambda v: zero_pad2d(v, pad))
+
+    target = out2.vmin.shape[1]
+    out1 = interval_struct(out1, lambda v: _to_size(v, target))
+    out4 = interval_struct(out4, lambda v: _to_size(v, target))
+
+    # branch losses share the prefix: sum only each branch's contribution
+    cat = Interval(
+        vmin=jnp.concatenate([out1.vmin, out2.vmin, out4.vmin], axis=-1),
+        vmax=jnp.concatenate([out1.vmax, out2.vmax, out4.vmax], axis=-1),
+        loss=in_loss + (out1.loss - in_loss) + (out2.loss - in_loss)
+        + (out4.loss - in_loss),
+    )
+    cat = interval_struct(cat, lambda v: channel_interleave(v, cfg.cpt))
+    return interval_block_tt(params["convf"], state["convf"],
+                             cfg.convf_cfg(), cat)
+
+
+def tt_certif_interval(params, state, cfg: TTCertifConfig, x, eps: float,
+                       inputs_min: float = 0.0, inputs_max: float = 1.0):
+    """Sound logit bounds for every input within the clipped eps-ball
+    around ``x`` — over ALL dead-zone noise draws too (the noisy Heaviside
+    is bounded, not sampled).  Returns the logits Interval."""
+    from ..layers.norm import bn_scale_bias
+    from ..robust.interval import (interval_batch_norm, interval_flatten,
+                                   interval_from_eps_ball,
+                                   interval_heaviside_noisy, interval_linear)
+
+    iv = interval_from_eps_ball(x, eps, inputs_min, inputs_max)
+    iv = interval_batch_norm(iv, *bn_scale_bias(params["bn0"],
+                                                state["bn0"]))
+    iv = interval_batch_norm(iv, *bn_scale_bias(params["bn1"],
+                                                state["bn1"]))
+    iv = interval_heaviside_noisy(iv, cfg.T)
+    for i, bcfg in enumerate(cfg.block_configs()):
+        iv = _interval_certif_block(params[f"block{i}"], state[f"block{i}"],
+                                    bcfg, iv)
+    iv = interval_flatten(iv)
+    if cfg.head == "binpos_v2":
+        from ..ops.quantize import ste_round
+        from ..ops.weights import binarize_weights
+        from ..robust.interval import interval_mono
+
+        w = jnp.abs(binarize_weights("ternary_mask",
+                                     params["fc"]["weight"],
+                                     params["fc"].get("weight_mask")))
+        iv = interval_linear(iv, w, lambda v, w_: v @ w_)
+        return interval_mono(iv, ste_round)   # bin_linear output rounding
+    return interval_linear(iv, params["fc"]["weight"],
+                           lambda v, w_: v @ w_,
+                           bias=params["fc"].get("bias"))
+
+
+def tt_certif_interval_logits(params, state, cfg: TTCertifConfig, x,
+                              eps: float, inputs_min: float = 0.0,
+                              inputs_max: float = 1.0):
+    return tt_certif_interval(params, state, cfg, x, eps, inputs_min,
+                              inputs_max)
+
+
+def tt_certif_interval_loss(params, state, cfg: TTCertifConfig, x,
+                            eps: float, inputs_min: float = 0.0,
+                            inputs_max: float = 1.0):
+    """Activation-stability loss (rsloss accumulated at every Heaviside)
+    through the interval forward — makes --abstract_eps trainable on the
+    certified-robustness model itself."""
+    return tt_certif_interval(params, state, cfg, x, eps, inputs_min,
+                              inputs_max).loss

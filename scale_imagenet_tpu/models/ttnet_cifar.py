@@ -587,12 +587,12 @@ def cifar10lownoise_apply(params, state, cfg: Cifar10LowNoiseConfig, x,
 # (SeqBinModelHelper.compute_act_stabilizing_loss_abstract /
 #  forward_with_multi_sample, netbin.py:703-738)
 
-def cifar10lownoise_interval_loss(params, state, cfg, x, eps: float,
-                                  inputs_min: float = 0.0,
-                                  inputs_max: float = 1.0):
-    """Interval-arithmetic activation-stability loss: propagate the eps-ball
-    through the features up to (and including) the last Heaviside, like the
-    reference's AbstractTensor forward over features[:-2]."""
+def cifar10lownoise_interval(params, state, cfg, x, eps: float,
+                             inputs_min: float = 0.0,
+                             inputs_max: float = 1.0):
+    """Interval-arithmetic forward through the features up to (and
+    including) the last Heaviside, like the reference's AbstractTensor
+    forward over features[:-2]; returns the feature Interval."""
     from ..ops.quantize import input_quantize
     from ..ops.weights import binarize_weights
     from ..robust.interval import (
@@ -625,7 +625,41 @@ def cifar10lownoise_interval_loss(params, state, cfg, x, eps: float,
     iv = interval_batch_norm(iv, *bn_scale_bias(params["bn3"],
                                                 state["bn3"]))
     iv = interval_heaviside(iv)
-    return iv.loss
+    return iv
+
+
+def cifar10lownoise_interval_loss(params, state, cfg, x, eps: float,
+                                  inputs_min: float = 0.0,
+                                  inputs_max: float = 1.0):
+    """Activation-stability loss of the interval forward
+    (compute_act_stabilizing_loss_abstract, netbin.py:726-738)."""
+    return cifar10lownoise_interval(params, state, cfg, x, eps,
+                                    inputs_min, inputs_max).loss
+
+
+def cifar10lownoise_interval_logits(params, state, cfg, x, eps: float,
+                                    inputs_min: float = 0.0,
+                                    inputs_max: float = 1.0):
+    """Sound logit bounds under the clipped eps-ball: the interval
+    features through the BinLinearPos + stats-BN head — a per-image
+    robustness certificate (--certify), beyond the loss-only reach of the
+    reference's AbstractTensor."""
+    from ..layers.norm import bn_scale_bias
+    from ..ops.quantize import ste_round
+    from ..ops.weights import binarize_weights
+    from ..robust.interval import (interval_batch_norm,
+                                   interval_bin_linear_pos,
+                                   interval_flatten, interval_mono)
+
+    iv = cifar10lownoise_interval(params, state, cfg, x, eps,
+                                  inputs_min, inputs_max)
+    iv = interval_flatten(iv)
+    w = binarize_weights("ternary_mask", params["fc"]["weight"],
+                         params["fc"].get("weight_mask"))
+    iv = interval_bin_linear_pos(iv, w)
+    iv = interval_mono(iv, ste_round)   # bin_linear output rounding
+    return interval_batch_norm(iv, *bn_scale_bias(params["head_bn"],
+                                                  state["head_bn"]))
 
 
 def cifar10lownoise_multi_sample(params, state, cfg, x, x_adv, eps: float,
@@ -661,12 +695,13 @@ def cifar10lownoise_multi_sample(params, state, cfg, x, x_adv, eps: float,
     return multi_sample_unpack_natural(logits, k), loss
 
 
-def model_general_interval_loss(params, state, cfg: ModelGeneralConfig, x,
-                                eps: float, inputs_min: float = 0.0,
-                                inputs_max: float = 1.0):
-    """Interval-arithmetic stability loss for model_general — the
+def model_general_interval(params, state, cfg: ModelGeneralConfig, x,
+                           eps: float, inputs_min: float = 0.0,
+                           inputs_max: float = 1.0):
+    """Interval-arithmetic forward for model_general — the
     compute_act_stabilizing_loss_abstract path (netbin.py:726-738) through
-    the features up to (and including) the final Heaviside."""
+    the features up to (and including) the final Heaviside; returns the
+    feature Interval."""
     from ..layers.norm import bn_scale_bias
     from ..ops.weights import binarize_weights
     from ..robust.interval import (
@@ -708,4 +743,46 @@ def model_general_interval_loss(params, state, cfg: ModelGeneralConfig, x,
         iv = interval_batch_norm(iv, *bn_scale_bias(params[f"bn{i}b"],
                                                     state[f"bn{i}b"]))
         iv = interval_heaviside(iv)
-    return iv.loss
+    return iv
+
+
+def model_general_interval_loss(params, state, cfg: ModelGeneralConfig, x,
+                                eps: float, inputs_min: float = 0.0,
+                                inputs_max: float = 1.0):
+    """Activation-stability loss of the interval forward."""
+    return model_general_interval(params, state, cfg, x, eps,
+                                  inputs_min, inputs_max).loss
+
+
+def model_general_interval_logits(params, state, cfg: ModelGeneralConfig,
+                                  x, eps: float, inputs_min: float = 0.0,
+                                  inputs_max: float = 1.0):
+    """Sound logit bounds under the clipped eps-ball: interval features
+    through model_general's classifier head (float Linear, or BinLinearPos
+    + optional stats-BN) — a per-image robustness certificate
+    (--certify)."""
+    from ..layers.norm import bn_scale_bias
+    from ..ops.quantize import ste_round
+    from ..ops.weights import binarize_weights
+    from ..robust.interval import (interval_batch_norm,
+                                   interval_bin_linear_pos,
+                                   interval_flatten, interval_linear,
+                                   interval_mono)
+
+    iv = model_general_interval(params, state, cfg, x, eps,
+                                inputs_min, inputs_max)
+    iv = interval_flatten(iv)
+    if cfg.type_weights_final == "float":
+        iv = interval_linear(iv, params["fc"]["weight"],
+                             lambda v, w_: v @ w_,
+                             bias=params["fc"].get("bias"))
+    else:
+        w = binarize_weights(_fc_binarizer(cfg.type_weights_final),
+                             params["fc"]["weight"],
+                             params["fc"].get("weight_mask"))
+        iv = interval_bin_linear_pos(iv, w)
+        iv = interval_mono(iv, ste_round)   # bin_linear output rounding
+    if "head_bn" in params:
+        iv = interval_batch_norm(iv, *bn_scale_bias(params["head_bn"],
+                                                    state["head_bn"]))
+    return iv

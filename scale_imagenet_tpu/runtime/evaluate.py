@@ -21,6 +21,7 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
     losses = AverageMeter("Loss", ":.4e")
     top1 = AverageMeter("Acc@1", ":6.2f")
     top5 = AverageMeter("Acc@5", ":6.2f")
+    cert = AverageMeter("Cert@1", ":6.2f")   # certified eval only
 
     pending = []  # device-side metric dicts not yet folded into meters
 
@@ -30,6 +31,8 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
             losses.update(float(m["loss"]), n)
             top1.update(float(m["top1"]), n)
             top5.update(float(m["top5"]), n)
+            if "cert" in m:
+                cert.update(float(m["cert"]), n)
         pending.clear()
 
     end = time.time()
@@ -54,5 +57,8 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
 
     drain()
     if verbose:
-        print(f"Acc.. {top1.avg} {top5.avg}")
+        print(f"Acc.. {top1.avg} {top5.avg}"
+              + (f" certified {cert.avg}" if cert.count else ""))
+    if cert.count:
+        return top1.avg, top5.avg, losses.avg, cert.avg
     return top1.avg, top5.avg, losses.avg

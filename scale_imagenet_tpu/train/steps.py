@@ -68,8 +68,18 @@ def make_input_pipeline(normalize=None, augment=False,
 
 
 def make_eval_step(model, mesh: Mesh | None = None, key=None,
-                   normalize=None):
+                   normalize=None, certify_eps: float = 0.0,
+                   certify_stats=None):
     """Returns ``eval_step(params, state, images, labels) -> metrics dict``.
+
+    ``certify_eps``: when > 0, the step also computes the per-image
+    robustness certificate via the model's ``interval_logits`` hook (sound
+    logit bounds under an L-inf eps-ball of ``certify_eps`` in PIXEL
+    ([0, 1]) units) and returns a ``cert`` metric — the certified top-1 %
+    (prediction correct AND provably stable).  ``certify_stats``: the
+    ``(mean, std)`` the inputs were normalized with, so the pixel ball
+    maps to per-channel eps/std with clip bounds ((0-mean)/std,
+    (1-mean)/std); None means inputs are raw [0, 1].
 
     ``key``: optional PRNG key for models whose eval forward is stochastic
     (noisy dead-zone Heaviside with T != 0, e.g. tt_certif) — the reference
@@ -84,6 +94,21 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
     (u8 -> f32 loses nothing) and quarters host->device traffic.
     """
     prepare = make_input_pipeline(normalize)
+
+    if certify_eps > 0:
+        if getattr(model, "interval_logits", None) is None:
+            raise ValueError(
+                f"{model.name} has no interval_logits hook — certified "
+                "eval supports the AbstractTensor families (tt_certif, "
+                "cifar10lownoise, model_general)")
+        if certify_stats is not None:
+            _cmean = jnp.asarray(certify_stats[0], jnp.float32)
+            _cstd = jnp.asarray(certify_stats[1], jnp.float32)
+            _ceps = certify_eps / _cstd
+            _clo = (0.0 - _cmean) / _cstd
+            _chi = (1.0 - _cmean) / _cstd
+        else:
+            _ceps, _clo, _chi = certify_eps, 0.0, 1.0
 
     def step_fn(params, state, images, labels, step_key):
         images, _ = prepare(images)
@@ -101,8 +126,18 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
         # without a second compiled program for the tail
         nll_sum, (c1, c5), n = masked_metric_sums(logits, labels)
         denom = jnp.maximum(n, 1.0)
-        return {"loss": nll_sum / denom, "top1": 100.0 * c1 / denom,
-                "top5": 100.0 * c5 / denom, "n": n}
+        out = {"loss": nll_sum / denom, "top1": 100.0 * c1 / denom,
+               "top5": 100.0 * c5 / denom, "n": n}
+        if certify_eps > 0:
+            from ..robust.interval import certified_mask
+
+            iv = model.interval_logits(params, state, images, _ceps,
+                                       _clo, _chi)
+            preds = jnp.argmax(logits, axis=-1)
+            cert = certified_mask(iv, preds)
+            ok = (labels >= 0) & cert & (preds == labels)
+            out["cert"] = 100.0 * jnp.sum(ok.astype(jnp.float32)) / denom
+        return out
 
     if mesh is None:
         jitted = jax.jit(step_fn)
