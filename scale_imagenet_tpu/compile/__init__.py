@@ -34,8 +34,10 @@ from .gate_net import (
     compile_ttnet_gates,
     gate_block_apply,
     gate_multihead_apply,
+    gate_tt_fhe_alexnet_apply,
     gate_tt_fhe_apply,
     gate_ttnet_apply,
+    gate_ttnet_vgg_stem_apply,
     total_gates,
 )
 
@@ -46,8 +48,10 @@ __all__ = [
     "compile_ttnet_gates",
     "gate_block_apply",
     "gate_multihead_apply",
+    "gate_tt_fhe_alexnet_apply",
     "gate_tt_fhe_apply",
     "gate_ttnet_apply",
+    "gate_ttnet_vgg_stem_apply",
     "total_gates",
     "compile_block_tt_lut",
     "compile_multihead_lut",

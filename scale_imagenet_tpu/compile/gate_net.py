@@ -284,6 +284,52 @@ def gate_ttnet_apply(gnets: list[MultiHeadGates], params, state, cfg, x, *,
     return logits
 
 
+def gate_ttnet_vgg_stem_apply(gnets: list[MultiHeadGates], params, state,
+                              cfg, x, *, form: str = "dnf"):
+    """Gate-circuit forward of TT_vf_19lv3_imgnet_xsmall_VGG (mirror of
+    ``lut_ttnet_vgg_stem_apply``: frozen VGG stem + Classifier_scale in
+    float, circuit block; that block has no fuse head)."""
+    from ..layers.conv import conv2d
+    from ..layers.norm import batch_norm
+    from ..layers.pool import avg_pool, flatten, max_pool
+    from ..models.classifier import classifier_scale
+    from ..ops.binarize import binarize01_act
+
+    h = avg_pool(x, 4)
+    h = jax.nn.relu(conv2d(params["vgg_conv1"], h, padding=1))
+    h = jax.nn.relu(conv2d(params["vgg_conv2"], h, padding=1))
+    h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+    h = max_pool(h, 5)
+    h = binarize01_act(h)
+    h = gate_multihead_apply(gnets[0], h, form=form)
+    h = flatten(h).astype(jnp.float32)
+    logits, _ = classifier_scale(params["classifier"], state["classifier"],
+                                 h, False)
+    return logits
+
+
+def gate_tt_fhe_alexnet_apply(gnets: list[MultiHeadGates], params, state,
+                              cfg, x, *, form: str = "dnf"):
+    """Gate-circuit forward of TT_FHE_XSMALL_vAlexnet (mirror of
+    ``lut_tt_fhe_alexnet_apply``: float VGG stem + linear head, circuit
+    block ending at the raw 4-head concat)."""
+    from ..layers.conv import conv2d
+    from ..layers.linear import linear
+    from ..layers.norm import batch_norm
+    from ..layers.pool import flatten, max_pool
+    from ..ops.binarize import binarize01_act
+
+    h = jax.nn.relu(conv2d(params["vgg_conv1"], x, padding=1))
+    h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+    h = max_pool(h, cfg.maxpool)
+    h = binarize01_act(h)
+    h = gate_multihead_apply(gnets[0], h, form=form)
+    h = flatten(h).astype(jnp.float32)
+    h = linear(params["lin1"], h)
+    h, _ = batch_norm(params["bn1"], state["bn1"], h, False)
+    return linear(params["lin2"], h)
+
+
 def gate_tt_fhe_apply(gnets: list[MultiHeadGates], params, state, cfg, x, *,
                       form: str = "dnf"):
     """Full gate-circuit forward of a TT_FHE model (mirror of

@@ -345,13 +345,18 @@ def _gate_family(config):
     """(compile_fn, apply_fn) for gate-circuit serving, or a clear error
     for families without one (mirrors ``_lut_family``)."""
     from . import compile as C
-    from .models.tt_fhe import TTFHEConfig
-    from .models.ttnet_imagenet import TTnetImageNetConfig
+    from .models.tt_fhe import TTFHEAlexnetConfig, TTFHEConfig
+    from .models.ttnet_imagenet import TTnetImageNetConfig, \
+        TTnetVGGStemConfig
 
+    if isinstance(config, TTnetVGGStemConfig):
+        return C.compile_ttnet_gates, C.gate_ttnet_vgg_stem_apply
     if isinstance(config, TTnetImageNetConfig):
         return C.compile_ttnet_gates, C.gate_ttnet_apply
     if isinstance(config, TTFHEConfig):
         return C.compile_tt_fhe_gates, C.gate_tt_fhe_apply
+    if isinstance(config, TTFHEAlexnetConfig):
+        return C.compile_ttnet_gates, C.gate_tt_fhe_alexnet_apply
     raise ValueError("--gates serving supports the ttnet_imagenet and "
                      f"TT_FHE families, not {type(config).__name__}")
 

@@ -195,3 +195,34 @@ def test_gate_bits_equal_lut_bits():
     np.testing.assert_array_equal(
         np.asarray(gate_block_apply(bg, x)),
         np.asarray(lut_block_tt_apply(lut, x)))
+
+
+def test_vgg_stem_gate_forward():
+    """The VGG16-stem ImageNet variant serves as a gate circuit (its
+    single block has no fuse head), matching the float model."""
+    from scale_imagenet_tpu.compile import gate_ttnet_vgg_stem_apply
+
+    m = get_model("TT_vf_19lv3_imgnet_xsmall_VGG", num_classes=10)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+    gnets = compile_ttnet_gates(params, state, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    ref, _ = m.apply(params, state, x)
+    got = gate_ttnet_vgg_stem_apply(gnets, params, state, m.config, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fhe_alexnet_gate_forward():
+    """The VGG-stem FHE variant serves as a gate circuit."""
+    from scale_imagenet_tpu.compile import gate_tt_fhe_alexnet_apply
+
+    m = get_model("TT_FHE_XSMALL_vAlexnet")
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+    gnets = compile_ttnet_gates(params, state, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    ref, _ = m.apply(params, state, x)
+    got = gate_tt_fhe_alexnet_apply(gnets, params, state, m.config, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
