@@ -106,6 +106,18 @@ def parse_args(argv=None):
                         "through the WHOLE model to the logits "
                         "(tt_certif / cifar10lownoise / model_general "
                         "families)")
+    p.add_argument("--attack", choices=["fgsm", "pgd"], default=None,
+                   help="adversarial eval: also report top-1 %% under a "
+                        "white-box L-inf attack of radius --attack_eps "
+                        "(robust/attack.py; gradients via the training "
+                        "STE surrogates).  Composes with --certify: "
+                        "cert <= adv <= clean")
+    p.add_argument("--attack_eps", type=float, default=0.0,
+                   help="attack radius in [0,1] pixel units")
+    p.add_argument("--attack_steps", type=int, default=10,
+                   help="PGD iterations")
+    p.add_argument("--attack_lr", type=float, default=0.0,
+                   help="PGD step size in pixel units (default eps/4)")
     p.add_argument("--gates", choices=["dnf", "cnf"], default=None,
                    help="serve eval as the compiled boolean CIRCUIT "
                         "(compile/gate_net.py): every Heaviside filter "
@@ -495,6 +507,8 @@ def main(argv=None):
                 "dnf|cnf); --mode compile writes the artifacts it runs")
         if cfg.certify > 0:
             raise ValueError("--certify is certified EVAL (--mode eval)")
+        if cfg.attack or cfg.attack_eps > 0:
+            raise ValueError("--attack is adversarial EVAL (--mode eval)")
         import json
 
         from .compile.truth_table import compile_model_truth_tables
@@ -571,6 +585,21 @@ def main(argv=None):
                     raise ValueError(
                         "--certify propagates float intervals through "
                         f"the unmodified f32 model; {name} cannot apply")
+        if cfg.attack:
+            if cfg.attack_eps <= 0:
+                raise ValueError("--attack needs --attack_eps > 0 "
+                                 "(radius in [0,1] pixel units)")
+            for flag, name in ((cfg.lut, "--lut"), (cfg.gates, "--gates"),
+                               (cfg.bf16, "--bf16"),
+                               (cfg.fold_bn, "--fold_bn"),
+                               (cfg.tp, "--tp")):
+                if flag:
+                    raise ValueError(
+                        "--attack differentiates the unmodified f32 "
+                        f"model; {name} cannot apply")
+        elif cfg.attack_eps > 0 or cfg.attack_lr > 0:
+            raise ValueError("--attack_eps/--attack_lr configure "
+                             "--attack fgsm|pgd — add the flag")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         if cfg.fold_bn:
@@ -694,11 +723,17 @@ def main(argv=None):
             # key: required by stochastic-eval models (T_test != 0, e.g.
             # tt_certif); T=0 models never consume it.  A fresh subkey is
             # folded in per batch inside the step.
+            attack = None
+            if cfg.attack:
+                attack = {"kind": cfg.attack, "eps": cfg.attack_eps,
+                          "steps": cfg.attack_steps,
+                          "step_size": cfg.attack_lr or None}
             eval_step = make_eval_step(model, mesh,
                                        key=jax.random.PRNGKey(cfg.seed),
                                        normalize=normalize,
                                        certify_eps=cfg.certify,
-                                       certify_stats=certify_stats)
+                                       certify_stats=certify_stats,
+                                       attack=attack)
 
         shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
         # pad the final short batch (equal-length on every rank by the
@@ -716,13 +751,16 @@ def main(argv=None):
             eval_step, params, state, feed, logger=logger,
             log_interval=cfg.log_interval, verbose=is_coord)
         top1, top5, loss = res[:3]
+        extras = res[3] if len(res) > 3 else {}
         if is_coord:
+            tags = {"cert": f"certified@eps={cfg.certify:g}",
+                    "adv": f"adversarial@eps={cfg.attack_eps:g}"}
             print(f"final: top1 {top1:.3f}% top5 {top5:.3f}% "
                   f"loss {loss:.4f}"
-                  + (f" certified@eps={cfg.certify:g} {res[3]:.3f}%"
-                     if len(res) > 3 else ""))
-        if len(res) > 3:
-            return top1, top5, res[3]
+                  + "".join(f" {tags[k]} {v:.3f}%"
+                            for k, v in extras.items()))
+        if extras:
+            return top1, top5, extras
         return top1, top5
 
     # train mode
@@ -744,6 +782,10 @@ def main(argv=None):
         raise ValueError(
             "--certify is certified EVAL; robust training is "
             "--abstract_eps/--stability_eps/--bias_decay")
+    if cfg.attack or cfg.attack_eps > 0:
+        raise ValueError(
+            "--attack is adversarial EVAL; robust training is "
+            "--stability_eps (multi-sample perturbations)")
     if cfg.bf16:
         raise ValueError("--bf16 is bf16 *serving* (eval); bf16 "
                          "mixed-precision training is --amp")

@@ -21,7 +21,9 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
     losses = AverageMeter("Loss", ":.4e")
     top1 = AverageMeter("Acc@1", ":6.2f")
     top5 = AverageMeter("Acc@5", ":6.2f")
-    cert = AverageMeter("Cert@1", ":6.2f")   # certified eval only
+    # optional per-step extras: "cert" (certified top-1), "adv"
+    # (adversarial top-1) — tracked when the step emits them
+    extras = {k: AverageMeter(k, ":6.2f") for k in ("cert", "adv")}
 
     pending = []  # device-side metric dicts not yet folded into meters
 
@@ -31,8 +33,9 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
             losses.update(float(m["loss"]), n)
             top1.update(float(m["top1"]), n)
             top5.update(float(m["top5"]), n)
-            if "cert" in m:
-                cert.update(float(m["cert"]), n)
+            for k, meter in extras.items():
+                if k in m:
+                    meter.update(float(m[k]), n)
         pending.clear()
 
     end = time.time()
@@ -56,9 +59,10 @@ def evaluate(eval_step, params, state, loader, logger=None, epoch: int = 0,
                 logger.add_scalar("Accuracy/test", top1.avg, step)
 
     drain()
+    extra_avgs = {k: m.avg for k, m in extras.items() if m.count}
     if verbose:
         print(f"Acc.. {top1.avg} {top5.avg}"
-              + (f" certified {cert.avg}" if cert.count else ""))
-    if cert.count:
-        return top1.avg, top5.avg, losses.avg, cert.avg
+              + "".join(f" {k} {v}" for k, v in extra_avgs.items()))
+    if extra_avgs:
+        return top1.avg, top5.avg, losses.avg, extra_avgs
     return top1.avg, top5.avg, losses.avg

@@ -67,9 +67,20 @@ def make_input_pipeline(normalize=None, augment=False,
     return prepare
 
 
+def _pixel_ball(eps: float, stats):
+    """Map an L-inf ball of ``eps`` in PIXEL ([0, 1]) units through input
+    normalization ``stats=(mean, std)``: per-channel eps/std with clip
+    bounds ((0-mean)/std, (1-mean)/std).  ``stats=None`` = raw [0, 1]."""
+    if stats is None:
+        return eps, 0.0, 1.0
+    mean = jnp.asarray(stats[0], jnp.float32)
+    std = jnp.asarray(stats[1], jnp.float32)
+    return eps / std, (0.0 - mean) / std, (1.0 - mean) / std
+
+
 def make_eval_step(model, mesh: Mesh | None = None, key=None,
                    normalize=None, certify_eps: float = 0.0,
-                   certify_stats=None):
+                   certify_stats=None, attack=None):
     """Returns ``eval_step(params, state, images, labels) -> metrics dict``.
 
     ``certify_eps``: when > 0, the step also computes the per-image
@@ -77,9 +88,13 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
     logit bounds under an L-inf eps-ball of ``certify_eps`` in PIXEL
     ([0, 1]) units) and returns a ``cert`` metric — the certified top-1 %
     (prediction correct AND provably stable).  ``certify_stats``: the
-    ``(mean, std)`` the inputs were normalized with, so the pixel ball
-    maps to per-channel eps/std with clip bounds ((0-mean)/std,
-    (1-mean)/std); None means inputs are raw [0, 1].
+    ``(mean, std)`` the inputs were normalized with (shared by the attack
+    ball); None means inputs are raw [0, 1].
+
+    ``attack``: optional ``{"kind": "fgsm"|"pgd", "eps": pixel-units,
+    "steps": int, "step_size": float|None}`` — adds an ``adv`` metric,
+    the top-1 % under the white-box attack (robust/attack.py).  With both
+    set, the step reports the full sandwich cert <= adv <= top1.
 
     ``key``: optional PRNG key for models whose eval forward is stochastic
     (noisy dead-zone Heaviside with T != 0, e.g. tt_certif) — the reference
@@ -101,14 +116,12 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
                 f"{model.name} has no interval_logits hook — certified "
                 "eval supports the AbstractTensor families (tt_certif, "
                 "cifar10lownoise, model_general)")
-        if certify_stats is not None:
-            _cmean = jnp.asarray(certify_stats[0], jnp.float32)
-            _cstd = jnp.asarray(certify_stats[1], jnp.float32)
-            _ceps = certify_eps / _cstd
-            _clo = (0.0 - _cmean) / _cstd
-            _chi = (1.0 - _cmean) / _cstd
-        else:
-            _ceps, _clo, _chi = certify_eps, 0.0, 1.0
+        _ceps, _clo, _chi = _pixel_ball(certify_eps, certify_stats)
+    if attack is not None:
+        _aeps, _alo, _ahi = _pixel_ball(attack["eps"], certify_stats)
+        _astep = None
+        if attack.get("step_size"):
+            _astep, _, _ = _pixel_ball(attack["step_size"], certify_stats)
 
     def step_fn(params, state, images, labels, step_key):
         images, _ = prepare(images)
@@ -137,6 +150,22 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
             cert = certified_mask(iv, preds)
             ok = (labels >= 0) & cert & (preds == labels)
             out["cert"] = 100.0 * jnp.sum(ok.astype(jnp.float32)) / denom
+        if attack is not None:
+            from ..robust.attack import fgsm_attack, pgd_attack
+
+            if attack["kind"] == "fgsm":
+                adv = fgsm_attack(model.apply, params, state, images,
+                                  labels, _aeps, _alo, _ahi, key=step_key)
+            else:
+                adv = pgd_attack(model.apply, params, state, images,
+                                 labels, _aeps,
+                                 steps=attack.get("steps", 10),
+                                 step_size=_astep,
+                                 lo=_alo, hi=_ahi, key=step_key)
+            adv_logits, _ = model.apply(params, state, adv,
+                                        training=False, key=step_key)
+            _, (a1, _a5), _ = masked_metric_sums(adv_logits, labels)
+            out["adv"] = 100.0 * a1 / denom
         return out
 
     if mesh is None:

@@ -135,8 +135,8 @@ def test_cli_certified_eval(tmp_path):
             "--root_dir", str(tmp_path), "--mesh_data", "1"]
     res = main(args + ["--certify", "0.001"])
     assert len(res) == 3
-    top1, top5, cert = res
-    assert 0.0 <= cert <= top1 + 1e-6
+    top1, top5, extras = res
+    assert 0.0 <= extras["cert"] <= top1 + 1e-6
 
     with pytest.raises(ValueError, match="cannot apply"):
         main(args + ["--certify", "0.001", "--bf16"])
