@@ -11,6 +11,8 @@ from .truth_table import (
 from .logic import (
     cnf_with_output_literal,
     count_gates,
+    dimacs_from_covers,
+    dimacs_from_minterms,
     minimize_truth_table,
     save_filter_artifacts,
 )
@@ -72,6 +74,8 @@ __all__ = [
     "compile_model_truth_tables",
     "cnf_with_output_literal",
     "count_gates",
+    "dimacs_from_covers",
+    "dimacs_from_minterms",
     "minimize_truth_table",
     "save_filter_artifacts",
 ]

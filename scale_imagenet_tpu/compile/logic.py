@@ -124,6 +124,58 @@ def cnf_with_output_literal(dnf_str: str, cnf_str: str) -> str:
     return " & ".join(clauses)
 
 
+def dimacs_from_covers(dnf_terms, cnf_terms, n: int,
+                       comment: str = "") -> str:
+    """DIMACS CNF of the output-literal encoding ``y <-> f`` from the
+    minimized covers — the solver-consumable form of ``get_exp_with_y``
+    (TT_FHE_SMALL.py:251-275), which the reference leaves as ad-hoc
+    ``.txt`` strings no SAT tool parses.
+
+    Variables 1..n are x_0..x_{n-1} (x_i -> i+1), variable n+1 is y.
+    Every DNF cube contributes (y | ~cube); every complement cube —
+    a CNF clause of f by De Morgan — contributes (clause | ~y).
+    Constants degenerate to the unit clause y / ~y.
+    """
+    yv = n + 1
+    clauses = []
+    for value, mask in dnf_terms:
+        lits = [yv]
+        for b in range(n):
+            if (mask >> b) & 1:
+                continue
+            var = (n - 1 - b) + 1        # pattern bit b is x_{n-1-b}
+            lits.append(-var if (value >> b) & 1 else var)
+        clauses.append(lits)
+    for value, mask in cnf_terms:
+        lits = []
+        for b in range(n):
+            if (mask >> b) & 1:
+                continue
+            var = (n - 1 - b) + 1
+            lits.append(-var if (value >> b) & 1 else var)
+        clauses.append(lits + [-yv])
+    out = []
+    if comment:
+        out.append(f"c {comment}")
+    out.append(f"c vars 1..{n} = x_0..x_{n - 1}; var {yv} = y <-> f(x)")
+    out.append(f"p cnf {yv} {len(clauses)}")
+    for c in clauses:
+        out.append(" ".join(str(v) for v in c) + " 0")
+    return "\n".join(out) + "\n"
+
+
+def dimacs_from_minterms(minterms, n: int, comment: str = "") -> str:
+    """DIMACS ``y <-> f`` encoding straight from a minterm list: minimize
+    the function and its complement, then ``dimacs_from_covers``."""
+    from ..native import expand_cover, pack_table_bits
+
+    bits = np.zeros(1 << n, np.uint8)
+    bits[list(minterms)] = 1
+    dnf_terms = expand_cover(pack_table_bits(bits), n)
+    cnf_terms = expand_cover(pack_table_bits(1 - bits), n)
+    return dimacs_from_covers(dnf_terms, cnf_terms, n, comment=comment)
+
+
 def count_gates(dnf_str: str) -> int:
     """Gate count of a DNF expression: one AND per &, one OR per |, one NOT
     per ~ (the accounting behind the released 157M figure).
@@ -190,3 +242,10 @@ def save_filter_artifacts(out_dir: str, block_id: int, sub_block_id: int,
                     f"table_outputblock_{block_id}_filter_{filter_id}"
                     f"_coefdefault_{v}.txt"), "w") as f:
                 f.write(e["cnf_y"])
+            with open(os.path.join(out_dir,
+                                   "dimacs" + base[:-4] + ".cnf"),
+                      "w") as f:
+                f.write(dimacs_from_minterms(
+                    rows.tolist(), n,
+                    comment=f"block {block_id} filter {filter_id} "
+                            f"value {v}"))

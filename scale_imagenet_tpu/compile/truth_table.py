@@ -161,16 +161,24 @@ def _save_packed_artifacts(out_dir: str, block_id: int, sub_block_id: int,
     minimized (value, mask) cube arrays per output value."""
     from ..native import pack_table_bits
 
+    from .logic import dimacs_from_covers
+
     os.makedirs(out_dir, exist_ok=True)
     base = f"block{block_id}_filter_{filter_id}_sousblock_{sub_block_id}"
     np.save(os.path.join(out_dir, f"packed_table_{base}.npy"),
             pack_table_bits((col != col.flat[0]).astype(np.uint8)))
+    n = int(np.log2(len(col)))
     for v, ts in term_sets.items():
         arr = np.asarray(ts["terms"], dtype=np.uint32)
         np.save(os.path.join(out_dir, f"dnf_terms_{base}_value_{v}.npy"),
                 arr)
         np.save(os.path.join(out_dir, f"cnf_terms_{base}_value_{v}.npy"),
                 np.asarray(ts["cnf_terms"], dtype=np.uint32))
+        with open(os.path.join(out_dir,
+                               f"dimacs_{base}_value_{v}.cnf"), "w") as f:
+            f.write(dimacs_from_covers(
+                ts["terms"], ts["cnf_terms"], n,
+                comment=f"block {block_id} filter {filter_id} value {v}"))
 
 
 def compile_model_truth_tables(block_items, out_dir: str,
