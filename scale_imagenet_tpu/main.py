@@ -25,8 +25,16 @@ import jax.numpy as jnp
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TTnet TPU harness")
-    p.add_argument("--mode", choices=["eval", "train", "compile"],
+    p.add_argument("--mode", choices=["eval", "train", "compile", "serve"],
                    default="eval")
+    p.add_argument("--port", type=int, default=8000,
+                   help="--mode serve: HTTP port (0 = ephemeral)")
+    p.add_argument("--serve_batch", type=int, default=8,
+                   help="--mode serve: dynamic-batcher max batch (one "
+                        "padded static-shape program regardless of load)")
+    p.add_argument("--serve_wait_ms", type=float, default=2.0,
+                   help="--mode serve: max straggler wait before a "
+                        "partial batch runs")
     p.add_argument("--compile_out", type=str, default="./truth_tables",
                    help="artifact directory for --mode compile")
     p.add_argument("--max_minimize_bits", type=int, default=16)
@@ -418,6 +426,54 @@ def _make_gate_eval_step(model, normalize=None):
     return step
 
 
+def _apply_serving_twins(cfg, model, params, state, is_coord=True):
+    """Apply the serving-mode flags shared by eval and serve: --fold_bn
+    (BN-folded weights), --bf16 (cast params+state), --lut (compiled
+    LUT twin), --gates (gate-circuit twin).  Returns (model, params,
+    state)."""
+    if cfg.fold_bn:
+        # serve with BN folded into the convs (the reference's
+        # bn_fuse.py workflow, test_fused_quant_model.py:145-181);
+        # the folded tree runs through the unchanged apply fn
+        from .convert.bn_fold import conv_bn_pairs_resnet, \
+            conv_bn_pairs_ttnet_imagenet, fold_model_bns
+        from .models.resnet import ResNetConfig
+        from .models.ttnet_imagenet import TTnetImageNetConfig
+
+        if cfg.lut:
+            raise ValueError("--fold_bn rewrites conv-mode serving "
+                             "weights; --lut serves integer tables "
+                             "(BN is already inside them) — drop one")
+        if isinstance(model.config, TTnetImageNetConfig):
+            pairs = conv_bn_pairs_ttnet_imagenet(model.config)
+        elif isinstance(model.config, ResNetConfig):
+            pairs = conv_bn_pairs_resnet(model.config)
+        else:
+            raise ValueError(
+                "--fold_bn knows the conv/BN pairing for the "
+                "ttnet_imagenet and resnet families, not "
+                f"{type(model.config).__name__}")
+        params, state = fold_model_bns(params, state, pairs)
+        if is_coord:
+            print(f"folded {len(pairs)} conv/BN pairs")
+    if cfg.bf16:
+        if cfg.lut:
+            raise ValueError(
+                "--bf16 applies to conv-mode serving; LUT serving is "
+                "integer-table execution (its float stem stays f32)")
+        from .utils import cast_floating
+
+        params = cast_floating(params)
+        state = cast_floating(state)
+    if cfg.lut and not cfg.tp:
+        model = _as_lut_model(model, params, state, cfg.lut_path,
+                              save_ok=is_coord)
+        params = model.wrap_params(params)
+    if cfg.gates:
+        model = _as_gate_model(model, params, state, cfg.gates)
+    return model, params, state
+
+
 def _pick_transforms(model):
     """(eval_tfm, train_tfm) for directory datasets, by the model's
     native resolution: the ImageNet 256→224 pipeline for 224² models,
@@ -533,6 +589,35 @@ def main(argv=None):
         print(f"total gates: {summary['total_gates']:,}")
         return summary
 
+    if cfg.mode == "serve":
+        # single-host inference serving: dynamic batching over one
+        # jitted forward (runtime/server.py); the serving twins
+        # (--fold_bn/--bf16/--lut/--gates) compose as in eval mode
+        for flag, name in ((cfg.tp, "--tp"), (cfg.amp, "--amp"),
+                           (cfg.certify > 0, "--certify"),
+                           (bool(cfg.attack), "--attack"),
+                           (cfg.stability_eps > 0, "--stability_eps"),
+                           (cfg.abstract_eps > 0, "--abstract_eps"),
+                           (cfg.bias_decay > 0, "--bias_decay"),
+                           (world > 1, "--num_processes")):
+            if flag:
+                raise ValueError(f"--mode serve is single-host inference "
+                                 f"serving; {name} does not apply")
+        if cfg.gates:
+            raise ValueError("--gates is the host verification runtime — "
+                             "its numpy walk cannot enter the server's "
+                             "jitted forward; serve the compiled network "
+                             "with --lut")
+        from .runtime.server import serve
+
+        model, params, state = _apply_serving_twins(cfg, model, params,
+                                                    state)
+        eval_tfm, _ = _pick_transforms(model)
+        size = getattr(model.config, "image_size", 224)
+        return serve(model, params, state, eval_tfm, (size, size, 3),
+                     port=cfg.port, batch_size=cfg.serve_batch,
+                     max_wait_ms=cfg.serve_wait_ms)
+
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     if is_coord:
         print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
@@ -602,46 +687,8 @@ def main(argv=None):
                              "--attack fgsm|pgd — add the flag")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
-        if cfg.fold_bn:
-            # serve with BN folded into the convs (the reference's
-            # bn_fuse.py workflow, test_fused_quant_model.py:145-181);
-            # the folded tree runs through the unchanged apply fn
-            from .convert.bn_fold import conv_bn_pairs_resnet, \
-                conv_bn_pairs_ttnet_imagenet, fold_model_bns
-            from .models.resnet import ResNetConfig
-            from .models.ttnet_imagenet import TTnetImageNetConfig
-
-            if cfg.lut:
-                raise ValueError("--fold_bn rewrites conv-mode serving "
-                                 "weights; --lut serves integer tables "
-                                 "(BN is already inside them) — drop one")
-            if isinstance(model.config, TTnetImageNetConfig):
-                pairs = conv_bn_pairs_ttnet_imagenet(model.config)
-            elif isinstance(model.config, ResNetConfig):
-                pairs = conv_bn_pairs_resnet(model.config)
-            else:
-                raise ValueError(
-                    "--fold_bn knows the conv/BN pairing for the "
-                    "ttnet_imagenet and resnet families, not "
-                    f"{type(model.config).__name__}")
-            params, state = fold_model_bns(params, state, pairs)
-            if is_coord:
-                print(f"folded {len(pairs)} conv/BN pairs")
-        if cfg.bf16:
-            if cfg.lut:
-                raise ValueError(
-                    "--bf16 applies to conv-mode serving; LUT serving is "
-                    "integer-table execution (its float stem stays f32)")
-            from .utils import cast_floating
-
-            params = cast_floating(params)
-            state = cast_floating(state)
-        if cfg.lut and not cfg.tp:
-            model = _as_lut_model(model, params, state, cfg.lut_path,
-                                  save_ok=is_coord)
-            params = model.wrap_params(params)
-        if cfg.gates:
-            model = _as_gate_model(model, params, state, cfg.gates)
+        model, params, state = _apply_serving_twins(cfg, model, params,
+                                                    state, is_coord)
 
         # input source — each process loads 1/world of every global batch
         if cfg.eval_batch_size % world:
