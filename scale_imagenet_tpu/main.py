@@ -488,7 +488,9 @@ def _pick_transforms(model):
     return cifar_eval_transform, cifar_train_transform
 
 
-def main(argv=None):
+def main(argv=None, *, serve_ready=None, serve_stop=None):
+    """CLI entry.  ``serve_ready``/``serve_stop``: optional events for
+    --mode serve (tests run the server in a thread and stop it)."""
     cfg = parse_args(argv)
 
     # platform forcing + distributed rendezvous must happen BEFORE any
@@ -616,7 +618,8 @@ def main(argv=None):
         size = getattr(model.config, "image_size", 224)
         return serve(model, params, state, eval_tfm, (size, size, 3),
                      port=cfg.port, batch_size=cfg.serve_batch,
-                     max_wait_ms=cfg.serve_wait_ms)
+                     max_wait_ms=cfg.serve_wait_ms,
+                     ready_event=serve_ready, stop_event=serve_stop)
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     if is_coord:

@@ -196,6 +196,44 @@ def test_concurrent_requests_one_program(tiny_server):
 
 # ------------------------------------------------------------------- CLI
 
+def test_cli_serve_lut_composition(tmp_path):
+    """--mode serve --lut end-to-end through the CLI: the compiled
+    truth-table twin serves HTTP requests bit-identically to the conv
+    forward (FHE family — the reference's compiled-deployment story,
+    TT_FHE_SMALL.py:322-431, behind a production front end)."""
+    from scale_imagenet_tpu.main import main
+
+    ready = threading.Event()
+    stop = threading.Event()
+    t = threading.Thread(
+        target=main,
+        args=(["--mode", "serve", "--model", "TT_FHE_SMALL",
+               "--nfilter", "4", "--tfilter", "4",
+               "--lut", "--lut_path", str(tmp_path / "luts.npz"),
+               "--port", "0", "--serve_batch", "2", "--serve_wait_ms",
+               "1", "--root_dir", str(tmp_path)],),
+        kwargs=dict(serve_ready=ready, serve_stop=stop), daemon=True)
+    t.start()
+    try:
+        assert ready.wait(300), "LUT server failed to start"
+        port = ready.port
+
+        model = get_model("TT_FHE_SMALL", nfilter=4, tfilter=4)
+        params, state = model.init(jax.random.PRNGKey(0))  # --seed 0
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        out = _post(port, x.tobytes(), "application/octet-stream")
+
+        logits, _ = model.apply(params, state, jnp.asarray(x)[None],
+                                training=False)
+        assert out["top5"][0] == int(jnp.argmax(logits[0]))
+        # the archive was written and is reloadable for the next server
+        assert (tmp_path / "luts.npz").exists()
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+
 def test_cli_serve_flag_honesty(tmp_path):
     """--mode serve rejects the flags that cannot apply (the no-flag-
     silently-does-nothing rule, cf. reference main.py:29-79)."""
