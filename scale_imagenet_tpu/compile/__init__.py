@@ -42,8 +42,18 @@ from .gate_net import (
     gate_ttnet_vgg_stem_apply,
     total_gates,
 )
+from .verilog import (
+    block_gates_to_verilog,
+    cnf_cover_to_expr,
+    cover_to_expr,
+    export_model_verilog,
+)
 
 __all__ = [
+    "block_gates_to_verilog",
+    "cnf_cover_to_expr",
+    "cover_to_expr",
+    "export_model_verilog",
     "compile_block_gates",
     "compile_multihead_gates",
     "compile_tt_fhe_gates",

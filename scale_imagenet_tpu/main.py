@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--compile_out", type=str, default="./truth_tables",
                    help="artifact directory for --mode compile")
     p.add_argument("--max_minimize_bits", type=int, default=16)
+    p.add_argument("--verilog", action="store_true",
+                   help="--mode compile: also export the gate circuits "
+                        "as synthesizable Verilog modules "
+                        "(<compile_out>/verilog/, + manifest.json)")
     p.add_argument("--root_dir", type=str, default="./")
     p.add_argument("--data_dir", type=str,
                    default="./../datasets/ILSVRC/Data/CLS-LOC/")
@@ -544,6 +548,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
     world = jax.process_count()
     is_coord = rank == 0
 
+    if cfg.verilog and cfg.mode != "compile":
+        raise ValueError("--verilog exports --mode compile artifacts; "
+                         f"it does nothing in --mode {cfg.mode}")
+
     model = build(cfg)
     params, state = load_params(cfg, model)
     n_params = sum(p.size for p in jax.tree.leaves(params))
@@ -589,6 +597,19 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         with open(os.path.join(cfg.compile_out, "summary.json"), "w") as f:
             json.dump(summary, f)
         print(f"total gates: {summary['total_gates']:,}")
+        if cfg.verilog:
+            # synthesizable netlist artifacts of the same circuits
+            from .compile.verilog import export_model_verilog
+
+            compile_fn, _ = _gate_family(model.config)
+            gnets = compile_fn(params, state, model.config)
+            vdir = os.path.join(cfg.compile_out, "verilog")
+            manifest = export_model_verilog(gnets, vdir,
+                                            model_name=model.name,
+                                            include_cnf=True)
+            summary["verilog"] = manifest
+            print(f"verilog: {len(manifest['modules'])} modules, "
+                  f"{manifest['total_gates']:,} gates -> {vdir}")
         return summary
 
     if cfg.mode == "serve":
