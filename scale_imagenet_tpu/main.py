@@ -622,6 +622,8 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.stability_eps > 0, "--stability_eps"),
                            (cfg.abstract_eps > 0, "--abstract_eps"),
                            (cfg.bias_decay > 0, "--bias_decay"),
+                           (cfg.shards_dir is not None, "--shards_dir"),
+                           (cfg.native_data, "--native_data"),
                            (world > 1, "--num_processes")):
             if flag:
                 raise ValueError(f"--mode serve is single-host inference "

@@ -140,8 +140,9 @@ def serve(model, params, state, transform, input_shape, *,
     example = np.zeros(input_shape, np.float32)
     batcher = DynamicBatcher(forward, example, batch_size=batch_size,
                              max_wait_ms=max_wait_ms)
-    # compile once at startup so the first request doesn't pay it
-    batcher.submit(example)
+    # compile once at startup so the first request doesn't pay it (the
+    # generous timeout covers a first TPU compile over a slow link)
+    batcher.submit(example, timeout=600.0)
     batcher.served = 0
 
     class Handler(BaseHTTPRequestHandler):

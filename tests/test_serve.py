@@ -245,6 +245,8 @@ def test_cli_serve_flag_honesty(tmp_path):
                        (["--amp"], "--amp"),
                        (["--certify", "0.03"], "--certify"),
                        (["--attack", "fgsm"], "--attack"),
+                       (["--shards_dir", "/tmp/x"], "--shards_dir"),
+                       (["--native_data"], "--native_data"),
                        (["--gates", "dnf"], "--lut")]:
         with pytest.raises(ValueError, match=msg):
             main(base + extra)
