@@ -141,6 +141,11 @@ def parse_args(argv=None):
                    help="eval with BatchNorms folded into the preceding "
                         "convs (bn_fuse.py algebra; composes with "
                         "--bf16)")
+    p.add_argument("--fuse_quant", action="store_true",
+                   help="fused-quant serving (resnet family): pre-apply "
+                        "the model's DoReFa weight quantization offline, "
+                        "fold every BN, serve at wbit=32 — the "
+                        "reference's test_fused_quant_model.py workflow")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving: cast params + BN state to bfloat16 "
                         "for eval (+4%% throughput; argmax agreement "
@@ -432,9 +437,47 @@ def _make_gate_eval_step(model, normalize=None):
 
 def _apply_serving_twins(cfg, model, params, state, is_coord=True):
     """Apply the serving-mode flags shared by eval and serve: --fold_bn
-    (BN-folded weights), --bf16 (cast params+state), --lut (compiled
-    LUT twin), --gates (gate-circuit twin).  Returns (model, params,
-    state)."""
+    (BN-folded weights), --fuse_quant (offline DoReFa quantize + fold),
+    --bf16 (cast params+state), --lut (compiled LUT twin), --gates
+    (gate-circuit twin).  Returns (model, params, state)."""
+    if cfg.fuse_quant:
+        # fused-quant inference: pre-apply the model's own DoReFa weight
+        # quantization offline, fold every BN, then serve at wbit=32 —
+        # the reference's test_fused_quant_model.py:26-109 workflow
+        import dataclasses as _dc
+
+        from .convert.fuse_quant import fuse_resnet, \
+            quantize_resnet_weights
+        from .models.resnet import ResNetConfig, resnet_apply
+
+        if cfg.fold_bn:
+            raise ValueError("--fuse_quant already folds every BN after "
+                             "quantizing the weights; drop --fold_bn")
+        if cfg.lut or cfg.gates:
+            raise ValueError("--fuse_quant is DoReFa-ResNet serving; the "
+                             "compiled TTnet modes (--lut/--gates) do "
+                             "not apply")
+        if not isinstance(model.config, ResNetConfig):
+            raise ValueError(
+                "--fuse_quant pre-applies DoReFa weight quantization — "
+                "the resnet family, not "
+                f"{type(model.config).__name__}")
+        if model.config.wbit >= 32:
+            raise ValueError(
+                f"--fuse_quant: {model.name} has float weights "
+                f"(wbit={model.config.wbit}) — nothing to pre-quantize; "
+                "BN-fold-only serving is --fold_bn")
+        wbit = model.config.wbit
+        params = quantize_resnet_weights(params, wbit)
+        params, state = fuse_resnet(params, state, model.config)
+        cfg32 = _dc.replace(model.config, wbit=32)
+        model = _dc.replace(
+            model, name=model.name + "+fusedquant", config=cfg32,
+            apply=lambda p, s, x, training=False, key=None:
+                resnet_apply(p, s, cfg32, x, training, key))
+        if is_coord:
+            print(f"fuse_quant: offline DoReFa w{wbit} -> serving "
+                  "wbit=32, BNs folded")
     if cfg.fold_bn:
         # serve with BN folded into the convs (the reference's
         # bn_fuse.py workflow, test_fused_quant_model.py:145-181);
@@ -567,6 +610,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                 "--fold_bn rewrites conv-serving weights; truth-table "
                 "compilation evaluates the float blocks (their BNs are "
                 "inside the tables) — drop the flag")
+        if cfg.fuse_quant:
+            raise ValueError(
+                "--fuse_quant is resnet serving; truth-table "
+                "compilation applies to the TTnet families")
         if cfg.gates:
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
@@ -872,6 +919,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError("--fold_bn rewrites weights for SERVING "
                          "(--mode eval); training needs live BN "
                          "statistics")
+    if cfg.fuse_quant:
+        raise ValueError("--fuse_quant is fused-quant SERVING (--mode "
+                         "eval); DoReFa training quantizes on the fly "
+                         "(--model_arg wbit=N)")
     if cfg.tp:
         from .models.ttnet_imagenet import TTnetImageNetConfig
 

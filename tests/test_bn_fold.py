@@ -88,3 +88,44 @@ def test_fused_quant_resnet():
     rep = equivalence_report(logits_q, logits_f)
     assert rep["argmax_match"], rep
     assert rep["max_abs_diff"] < 1e-3, rep
+
+
+def test_cli_fuse_quant_eval(tmp_path):
+    """--fuse_quant end-to-end through the CLI: metrics equal the
+    on-the-fly-quantized eval (offline DoReFa + BN fold is an exact
+    serving rewrite), and the flag errors where it cannot act."""
+    import pytest
+    from PIL import Image
+
+    from scale_imagenet_tpu.main import main
+
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        d = tmp_path / "data" / "val" / f"c{c}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.png")
+
+    base = ["--mode", "eval", "--model", "resnet18_cifar",
+            "--model_arg", "wbit=4", "--model_arg", "abit=4",
+            "--data_dir", str(tmp_path / "data"),
+            "--eval_batch_size", "4", "--mesh_data", "1",
+            "--root_dir", str(tmp_path), "--log_interval", "1"]
+    ref = main(base)
+    fused = main(base + ["--fuse_quant"])
+    assert fused == ref, (fused, ref)
+
+    # flag honesty: float weights, wrong family, train mode
+    with pytest.raises(ValueError, match="nothing to pre-quantize"):
+        main([a.replace("wbit=4", "wbit=32") for a in base]
+             + ["--fuse_quant"])
+    with pytest.raises(ValueError, match="resnet family"):
+        main(["--mode", "eval", "--nfilter", "4", "--tfilter", "4",
+              "--layers", "0", "--data_dir", str(tmp_path / "data"),
+              "--eval_batch_size", "4", "--mesh_data", "1",
+              "--fuse_quant", "--root_dir", str(tmp_path)])
+    with pytest.raises(ValueError, match="SERVING"):
+        main(["--mode", "train", "--model", "resnet18_cifar",
+              "--fuse_quant", "--data_dir", str(tmp_path / "data"),
+              "--root_dir", str(tmp_path)])
