@@ -101,6 +101,12 @@ def parse_args(argv=None):
                    help="channel-group tensor-parallel eval over the "
                         "'model' mesh axis (shard_map; zero model-axis "
                         "communication through the block stack)")
+    p.add_argument("--sp", action="store_true",
+                   help="spatially-partitioned eval: shard image HEIGHT "
+                        "over the 'model' mesh axis (GSPMD inserts the "
+                        "conv/pool halo exchanges; params stay "
+                        "replicated) — the lever for resolution-bound "
+                        "inputs where batch sharding cannot help")
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: bf16 forward/"
                         "backward, f32 master params + optimizer")
@@ -614,6 +620,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
             raise ValueError(
                 "--fuse_quant is resnet serving; truth-table "
                 "compilation applies to the TTnet families")
+        if cfg.sp or cfg.tp:
+            raise ValueError("--sp/--tp shard EVAL over the mesh; "
+                             "truth-table compilation is per-block")
         if cfg.gates:
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
@@ -663,7 +672,8 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         # single-host inference serving: dynamic batching over one
         # jitted forward (runtime/server.py); the serving twins
         # (--fold_bn/--bf16/--lut/--gates) compose as in eval mode
-        for flag, name in ((cfg.tp, "--tp"), (cfg.amp, "--amp"),
+        for flag, name in ((cfg.tp, "--tp"), (cfg.sp, "--sp"),
+                           (cfg.amp, "--amp"),
                            (cfg.certify > 0, "--certify"),
                            (bool(cfg.attack), "--attack"),
                            (cfg.stability_eps > 0, "--stability_eps"),
@@ -758,6 +768,22 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         elif cfg.attack_eps > 0 or cfg.attack_lr > 0:
             raise ValueError("--attack_eps/--attack_lr configure "
                              "--attack fgsm|pgd — add the flag")
+        if cfg.sp:
+            if cfg.tp:
+                raise ValueError("--sp and --tp both shard over the "
+                                 "'model' mesh axis — pick one")
+            if cfg.lut or cfg.gates:
+                raise ValueError("--sp spatially shards conv math; the "
+                                 "compiled serving modes (--lut/--gates) "
+                                 "walk tables per window — drop one")
+            mm = mesh.shape["model"]
+            if mm == 1:
+                raise ValueError("--sp shards image height over the "
+                                 "'model' axis; run with --mesh_model>1")
+            size = getattr(model.config, "image_size", 224)
+            if size % mm:
+                raise ValueError(f"--sp: image height {size} not "
+                                 f"divisible by --mesh_model {mm}")
 
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         model, params, state = _apply_serving_twins(cfg, model, params,
@@ -853,9 +879,15 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                        normalize=normalize,
                                        certify_eps=cfg.certify,
                                        certify_stats=certify_stats,
-                                       attack=attack)
+                                       attack=attack, spatial=cfg.sp)
 
-        shardings = (batch_sharding(mesh), batch_sharding(mesh, ndim=1))
+        if cfg.sp:
+            from .parallel import spatial_sharding
+
+            img_sharding = spatial_sharding(mesh)
+        else:
+            img_sharding = batch_sharding(mesh)
+        shardings = (img_sharding, batch_sharding(mesh, ndim=1))
         # pad the final short batch (equal-length on every rank by the
         # loader's equal-slice partitioning) and mask pad rows in-step —
         # every image is scored, drop_last=False semantics
@@ -923,6 +955,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError("--fuse_quant is fused-quant SERVING (--mode "
                          "eval); DoReFa training quantizes on the fly "
                          "(--model_arg wbit=N)")
+    if cfg.sp:
+        raise ValueError("--sp is spatially-partitioned EVAL; training "
+                         "shards the batch ('data' axis) and channel "
+                         "groups (--tp)")
     if cfg.tp:
         from .models.ttnet_imagenet import TTnetImageNetConfig
 

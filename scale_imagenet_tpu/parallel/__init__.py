@@ -12,6 +12,7 @@ from .mesh import make_mesh, local_batch_size
 from .sharding import (
     batch_sharding,
     replicate,
+    spatial_sharding,
     ttnet_param_shardings,
     shard_params,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "local_batch_size",
     "batch_sharding",
     "replicate",
+    "spatial_sharding",
     "ttnet_param_shardings",
     "shard_params",
 ]

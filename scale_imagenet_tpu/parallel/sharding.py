@@ -24,6 +24,16 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Spatial partitioning: batch over 'data' AND image height over
+    'model' (NHWC).  GSPMD inserts the conv/pool halo exchanges; params
+    stay replicated along 'model', so this serves models whose channel
+    groups resist channel TP — and scales a SINGLE large image across
+    chips (the resolution-bound regime, where batch sharding cannot
+    help)."""
+    return NamedSharding(mesh, P("data", "model", None, None))
+
+
 def _spec_for(path: tuple, leaf, model: int) -> P:
     """Model-axis partition spec for one TTnet parameter leaf.
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.sharding import batch_sharding, replicate, \
-    ttnet_param_shardings
+    spatial_sharding, ttnet_param_shardings
 from .losses import accuracy_topk, cross_entropy, masked_metric_sums
 
 
@@ -80,8 +80,13 @@ def _pixel_ball(eps: float, stats):
 
 def make_eval_step(model, mesh: Mesh | None = None, key=None,
                    normalize=None, certify_eps: float = 0.0,
-                   certify_stats=None, attack=None):
+                   certify_stats=None, attack=None, spatial=False):
     """Returns ``eval_step(params, state, images, labels) -> metrics dict``.
+
+    ``spatial``: shard the image HEIGHT over the mesh's 'model' axis in
+    addition to batch-over-'data' (spatial partitioning) — GSPMD inserts
+    the conv/pool halo exchanges, params stay replicated along 'model'.
+    Numerically exact vs the unsharded step.
 
     ``certify_eps``: when > 0, the step also computes the per-image
     robustness certificate via the model's ``interval_logits`` hook (sound
@@ -169,11 +174,15 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
         return out
 
     if mesh is None:
+        if spatial:
+            raise ValueError("spatial partitioning needs a mesh")
         jitted = jax.jit(step_fn)
     else:
+        img_sharding = spatial_sharding(mesh) if spatial \
+            else batch_sharding(mesh)
         jitted = jax.jit(
             step_fn,
-            in_shardings=(None, None, batch_sharding(mesh),
+            in_shardings=(None, None, img_sharding,
                           batch_sharding(mesh, ndim=1), None),
             out_shardings=replicate(mesh),
         )
