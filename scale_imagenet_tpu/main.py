@@ -671,9 +671,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
     if cfg.mode == "serve":
         # single-host inference serving: dynamic batching over one
         # jitted forward (runtime/server.py); the serving twins
-        # (--fold_bn/--bf16/--lut/--gates) compose as in eval mode
-        for flag, name in ((cfg.tp, "--tp"), (cfg.sp, "--sp"),
-                           (cfg.amp, "--amp"),
+        # (--fold_bn/--bf16/--lut/--gates) compose as in eval mode, and
+        # the padded batch shards over the host's LOCAL mesh
+        # (--mesh_data batch-parallel, --sp height-parallel)
+        for flag, name in ((cfg.tp, "--tp"), (cfg.amp, "--amp"),
                            (cfg.certify > 0, "--certify"),
                            (bool(cfg.attack), "--attack"),
                            (cfg.stability_eps > 0, "--stability_eps"),
@@ -692,13 +693,41 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                              "with --lut")
         from .runtime.server import serve
 
+        # --mesh_data -1 = auto: all local devices — except for --lut,
+        # whose Pallas gather GSPMD cannot partition (auto falls back to
+        # one chip; an EXPLICIT multi-device mesh still errors)
+        mesh_data = cfg.mesh_data
+        if cfg.lut and mesh_data == -1 and cfg.mesh_model == 1:
+            mesh_data = 1
+        mesh = make_mesh(mesh_data, cfg.mesh_model)
+        multi = mesh.shape["data"] > 1 or mesh.shape["model"] > 1
+        size = getattr(model.config, "image_size", 224)
+        if multi or cfg.sp:
+            if cfg.lut:
+                raise ValueError(
+                    "--lut serving runs the Pallas gather single-chip "
+                    "(GSPMD cannot partition the kernel); mesh-sharded "
+                    "compiled serving is --mode eval --tp --lut")
+            if cfg.serve_batch % mesh.shape["data"]:
+                raise ValueError(
+                    f"--serve_batch {cfg.serve_batch} not divisible by "
+                    f"--mesh_data {mesh.shape['data']}")
+        if cfg.sp:
+            if mesh.shape["model"] == 1:
+                raise ValueError("--sp shards image height over the "
+                                 "'model' axis; run with --mesh_model>1")
+            if size % mesh.shape["model"]:
+                raise ValueError(f"--sp: image height {size} not "
+                                 f"divisible by --mesh_model "
+                                 f"{mesh.shape['model']}")
         model, params, state = _apply_serving_twins(cfg, model, params,
                                                     state)
         eval_tfm, _ = _pick_transforms(model)
-        size = getattr(model.config, "image_size", 224)
         return serve(model, params, state, eval_tfm, (size, size, 3),
                      port=cfg.port, batch_size=cfg.serve_batch,
                      max_wait_ms=cfg.serve_wait_ms,
+                     mesh=mesh if (multi or cfg.sp) else None,
+                     spatial=cfg.sp,
                      ready_event=serve_ready, stop_event=serve_stop)
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)

@@ -107,14 +107,28 @@ class DynamicBatcher:
                     done.set()
 
 
-def make_forward(model, params, state):
+def make_forward(model, params, state, mesh=None, spatial=False):
     """One jitted forward closed over nothing big: params/state enter as
     arguments (LUT pytrees would otherwise inline gigabytes of tables
-    into the program — see compile/lut_eval.py's design note)."""
-    @jax.jit
-    def fwd(params, state, x):
+    into the program — see compile/lut_eval.py's design note).
+
+    ``mesh``: shard the padded batch over the host's local devices —
+    batch over 'data' and, with ``spatial``, image height over 'model'
+    (GSPMD halo exchanges); params/state replicate.  Out-sharding
+    replicates the probs so the host read is one transfer."""
+    def fwd_fn(params, state, x):
         logits, _ = model.apply(params, state, x, training=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    if mesh is None:
+        fwd = jax.jit(fwd_fn)
+    else:
+        from ..parallel.sharding import batch_sharding, replicate, \
+            spatial_sharding
+
+        img = spatial_sharding(mesh) if spatial else batch_sharding(mesh)
+        fwd = jax.jit(fwd_fn, in_shardings=(None, None, img),
+                      out_shardings=replicate(mesh))
 
     return lambda x: fwd(params, state, x)
 
@@ -127,16 +141,19 @@ def _decode_image(body: bytes, transform) -> np.ndarray:
 
 def serve(model, params, state, transform, input_shape, *,
           host: str = "127.0.0.1", port: int = 8000, batch_size: int = 8,
-          max_wait_ms: float = 2.0, ready_event=None, stop_event=None,
-          verbose: bool = True):
+          max_wait_ms: float = 2.0, mesh=None, spatial=False,
+          ready_event=None, stop_event=None, verbose: bool = True):
     """Run the HTTP server until ``stop_event`` is set (or forever).
 
     ``transform``: host preprocessing for image uploads (the same
     PIL-exact eval transform the eval loop uses).  ``input_shape``: the
-    per-sample HWC shape raw-tensor posts must match.  ``ready_event``
-    is set once the socket is bound (tests).  Returns the bound port.
+    per-sample HWC shape raw-tensor posts must match.  ``mesh``/
+    ``spatial``: shard the padded batch over the host's local devices
+    (see ``make_forward``).  ``ready_event`` is set once the socket is
+    bound (tests).  Returns the bound port.
     """
-    forward = make_forward(model, params, state)
+    forward = make_forward(model, params, state, mesh=mesh,
+                           spatial=spatial)
     example = np.zeros(input_shape, np.float32)
     batcher = DynamicBatcher(forward, example, batch_size=batch_size,
                              max_wait_ms=max_wait_ms)

@@ -234,6 +234,47 @@ def test_cli_serve_lut_composition(tmp_path):
         t.join(timeout=60)
 
 
+def test_cli_serve_mesh_sharded(tmp_path):
+    """--mode serve over the host's local device mesh: the padded batch
+    shards dp ('data') + sp (height over 'model', GSPMD halos) and the
+    answers equal the unsharded forward; --lut refuses an explicit
+    multi-device mesh."""
+    from scale_imagenet_tpu.main import main
+
+    ready = threading.Event()
+    stop = threading.Event()
+    t = threading.Thread(
+        target=main,
+        args=(["--mode", "serve", "--nfilter", "4", "--tfilter", "4",
+               "--layers", "0", "--port", "0", "--serve_batch", "4",
+               "--serve_wait_ms", "1", "--mesh_data", "2",
+               "--mesh_model", "4", "--sp",
+               "--root_dir", str(tmp_path)],),
+        kwargs=dict(serve_ready=ready, serve_stop=stop), daemon=True)
+    t.start()
+    try:
+        assert ready.wait(300), "sharded server failed to start"
+        port = ready.port
+
+        model = get_model("ttnet_imagenet_small", nfilter=4, tfilter=4,
+                          layers=0)
+        params, state = model.init(jax.random.PRNGKey(0))  # --seed 0
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((224, 224, 3)).astype(np.float32)
+        out = _post(port, x.tobytes(), "application/octet-stream")
+        logits, _ = model.apply(params, state, jnp.asarray(x)[None],
+                                training=False)
+        assert out["top5"][0] == int(jnp.argmax(logits[0]))
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+    with pytest.raises(ValueError, match="single-chip"):
+        main(["--mode", "serve", "--nfilter", "4", "--tfilter", "4",
+              "--layers", "0", "--lut", "--mesh_data", "2",
+              "--root_dir", str(tmp_path)])
+
+
 def test_cli_serve_flag_honesty(tmp_path):
     """--mode serve rejects the flags that cannot apply (the no-flag-
     silently-does-nothing rule, cf. reference main.py:29-79)."""
