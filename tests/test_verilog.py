@@ -85,6 +85,21 @@ def test_module_text_strided_multigroup():
     np.testing.assert_array_equal(got, want)
 
 
+def test_module_text_n9_depthwise():
+    """A 3x3 depthwise block (n=9, the FHE-paper table size) exports
+    and round-trips over all 512 patterns."""
+    cfg = BlockTTConfig(in_planes=4, out_planes=4, k=3, padding=1,
+                        groupsici=4)
+    params, state = init_block_tt(jax.random.PRNGKey(3), cfg)
+    state = jax.tree.map(lambda a: a + 0.07, state)
+    bg = compile_block_gates(params, state, cfg)
+    assert cfg.n_bits == 9
+    text = block_gates_to_verilog(bg, "blk_dw", form="dnf")
+    want = np.asarray(block_truth_table(params, state, cfg), np.uint8)
+    got = _eval_all_rows(_parse_module(text), cfg.n_bits, cfg.out_planes)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_model_verilog_manifest(tmp_path):
     """Whole-model export: one .v per compiled block (+ CNF twins),
     manifest gate count == the runtime's meter, float parts listed."""

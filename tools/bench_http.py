@@ -123,7 +123,8 @@ def main():
     if os.path.exists("results/http_bench.json"):
         with open("results/http_bench.json") as f:
             out = json.load(f)
-    out[res["model"] + "@" + res["platform"]] = res
+    out[f"{res['model']}@{res['platform']}"
+        f"/c{args.clients}b{args.serve_batch}"] = res
     with open("results/http_bench.json", "w") as f:
         json.dump(out, f, indent=1)
 
