@@ -21,6 +21,7 @@ built from — the two are identical.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
@@ -29,6 +30,26 @@ import jax.numpy as jnp
 
 from ..models.block_tt import BlockTTConfig, block_tt
 from .logic import minimize_truth_table, save_filter_artifacts
+
+# scoped memo for block_truth_table (see table_cache below)
+_TABLE_CACHE: dict | None = None
+
+
+@contextlib.contextmanager
+def table_cache():
+    """Memoize ``block_truth_table`` results for the duration of the
+    block: a ``--mode compile --verilog`` run extracts artifacts AND
+    gate-compiles the same blocks, and the 2^n device enumeration is
+    the dominant cost — identity on the (params, state) sub-trees plus
+    the config value keys the second pass to the first's tables.  The
+    trees must stay alive for the scope (ids are only unique while the
+    objects are)."""
+    global _TABLE_CACHE
+    prev, _TABLE_CACHE = _TABLE_CACHE, {}
+    try:
+        yield
+    finally:
+        _TABLE_CACHE = prev
 
 
 def _as_pair(v):
@@ -67,6 +88,13 @@ def block_truth_table(params, state, cfg: BlockTTConfig,
     pre-activation sits within ~1e-6 of the Heaviside threshold)."""
     from ..config import exact_numerics
 
+    ck = None
+    if _TABLE_CACHE is not None:
+        ck = (id(params), id(state), repr(cfg), chunk)
+        hit = _TABLE_CACHE.get(ck)
+        if hit is not None:
+            return hit
+
     pats = enumerate_patterns(cfg)
 
     @jax.jit
@@ -79,7 +107,10 @@ def block_truth_table(params, state, cfg: BlockTTConfig,
     with exact_numerics():
         for i in range(0, pats.shape[0], chunk):
             outs.append(np.asarray(run(jnp.asarray(pats[i:i + chunk]))))
-    return np.concatenate(outs, axis=0)
+    table = np.concatenate(outs, axis=0)
+    if ck is not None:
+        _TABLE_CACHE[ck] = table
+    return table
 
 
 def extract_block_tables(params, state, cfg: BlockTTConfig,

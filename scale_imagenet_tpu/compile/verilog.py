@@ -129,7 +129,8 @@ def export_model_verilog(gnets: list[MultiHeadGates], out_dir: str, *,
                            "(sum>=2 of 4), fixup pads and channel "
                            "interleave are instantiation plumbing — see "
                            "models/multihead.py for the exact dataflow")}
-    forms = (form,) + (("cnf",) if include_cnf and form == "dnf" else ())
+    other = "cnf" if form == "dnf" else "dnf"
+    forms = (form,) + ((other,) if include_cnf else ())
     for i, mg in enumerate(gnets):
         items = [(f"block{i}_conv{h}", mg.heads[h]) for h in
                  sorted(mg.heads)]

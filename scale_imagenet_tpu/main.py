@@ -29,6 +29,9 @@ def parse_args(argv=None):
                    default="eval")
     p.add_argument("--port", type=int, default=8000,
                    help="--mode serve: HTTP port (0 = ephemeral)")
+    p.add_argument("--serve_host", type=str, default="127.0.0.1",
+                   help="--mode serve: bind address (0.0.0.0 to accept "
+                        "remote clients)")
     p.add_argument("--serve_batch", type=int, default=8,
                    help="--mode serve: dynamic-batcher max batch (one "
                         "padded static-shape program regardless of load)")
@@ -463,6 +466,10 @@ def _apply_serving_twins(cfg, model, params, state, is_coord=True):
             raise ValueError("--fuse_quant is DoReFa-ResNet serving; the "
                              "compiled TTnet modes (--lut/--gates) do "
                              "not apply")
+        if cfg.tp:
+            raise ValueError("--tp shards TTnet channel groups; "
+                             "--fuse_quant serves the resnet family — "
+                             "drop one")
         if not isinstance(model.config, ResNetConfig):
             raise ValueError(
                 "--fuse_quant pre-applies DoReFa weight quantization — "
@@ -646,26 +653,30 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                               params[f"block{i}"]["convf"],
                               state[f"block{i}"]["convf"],
                               bcfg.convf_cfg()))
-        summary = compile_model_truth_tables(
-            items, cfg.compile_out,
-            max_minimize_bits=cfg.max_minimize_bits)
-        print(json.dumps(summary, indent=2))
-        with open(os.path.join(cfg.compile_out, "summary.json"), "w") as f:
-            json.dump(summary, f)
-        print(f"total gates: {summary['total_gates']:,}")
-        if cfg.verilog:
-            # synthesizable netlist artifacts of the same circuits
-            from .compile.verilog import export_model_verilog
+        from .compile.truth_table import table_cache
 
-            compile_fn, _ = _gate_family(model.config)
-            gnets = compile_fn(params, state, model.config)
-            vdir = os.path.join(cfg.compile_out, "verilog")
-            manifest = export_model_verilog(gnets, vdir,
-                                            model_name=model.name,
-                                            include_cnf=True)
-            summary["verilog"] = manifest
-            print(f"verilog: {len(manifest['modules'])} modules, "
-                  f"{manifest['total_gates']:,} gates -> {vdir}")
+        with table_cache():   # --verilog re-reads the same blocks' tables
+            summary = compile_model_truth_tables(
+                items, cfg.compile_out,
+                max_minimize_bits=cfg.max_minimize_bits)
+            print(json.dumps(summary, indent=2))
+            with open(os.path.join(cfg.compile_out, "summary.json"),
+                      "w") as f:
+                json.dump(summary, f)
+            print(f"total gates: {summary['total_gates']:,}")
+            if cfg.verilog:
+                # synthesizable netlist artifacts of the same circuits
+                from .compile.verilog import export_model_verilog
+
+                compile_fn, _ = _gate_family(model.config)
+                gnets = compile_fn(params, state, model.config)
+                vdir = os.path.join(cfg.compile_out, "verilog")
+                manifest = export_model_verilog(gnets, vdir,
+                                                model_name=model.name,
+                                                include_cnf=True)
+                summary["verilog"] = manifest
+                print(f"verilog: {len(manifest['modules'])} modules, "
+                      f"{manifest['total_gates']:,} gates -> {vdir}")
         return summary
 
     if cfg.mode == "serve":
@@ -677,6 +688,8 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         for flag, name in ((cfg.tp, "--tp"), (cfg.amp, "--amp"),
                            (cfg.certify > 0, "--certify"),
                            (bool(cfg.attack), "--attack"),
+                           (cfg.attack_eps > 0, "--attack_eps"),
+                           (cfg.attack_lr > 0, "--attack_lr"),
                            (cfg.stability_eps > 0, "--stability_eps"),
                            (cfg.abstract_eps > 0, "--abstract_eps"),
                            (cfg.bias_decay > 0, "--bias_decay"),
@@ -724,7 +737,8 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                                     state)
         eval_tfm, _ = _pick_transforms(model)
         return serve(model, params, state, eval_tfm, (size, size, 3),
-                     port=cfg.port, batch_size=cfg.serve_batch,
+                     host=cfg.serve_host, port=cfg.port,
+                     batch_size=cfg.serve_batch,
                      max_wait_ms=cfg.serve_wait_ms,
                      mesh=mesh if (multi or cfg.sp) else None,
                      spatial=cfg.sp,

@@ -72,6 +72,15 @@ class DynamicBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail queued requests immediately instead of letting their
+        # handler threads sit out the full submit timeout
+        while True:
+            try:
+                _, done, slot = self._q.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = "server shutting down"
+            done.set()
 
     def _worker(self):
         while not self._stop.is_set():
@@ -97,10 +106,11 @@ class DynamicBatcher:
                 xs = np.concatenate([xs, pad])
             try:
                 out = np.asarray(self._forward(jnp.asarray(xs)))[:n]
+                self.served += n        # before done.set(): a caller may
+                # read/reset the counter the moment its event fires
                 for i, (_, done, slot) in enumerate(batch):
                     slot["out"] = out[i]
                     done.set()
-                self.served += n
             except Exception as e:      # propagate, don't hang clients
                 for _, done, slot in batch:
                     slot["error"] = repr(e)

@@ -118,6 +118,26 @@ def test_export_model_verilog_manifest(tmp_path):
         assert json.load(f)["total_gates"] == manifest["total_gates"]
 
 
+def test_table_cache_memoizes():
+    """Under table_cache(), the second extraction of the same block
+    returns the memoized table (no second 2^n enumeration) — what keeps
+    --mode compile --verilog from doubling its dominant cost."""
+    from scale_imagenet_tpu.compile.truth_table import block_truth_table, \
+        table_cache
+
+    cfg = BlockTTConfig(in_planes=8, out_planes=8, k=1, padding=0,
+                        groupsici=4)
+    params, state = init_block_tt(jax.random.PRNGKey(4), cfg)
+    with table_cache():
+        a = block_truth_table(params, state, cfg)
+        b = block_truth_table(params, state, cfg)
+    assert a is b
+    # outside the scope: fresh arrays again
+    c = block_truth_table(params, state, cfg)
+    assert c is not a
+    np.testing.assert_array_equal(a, c)
+
+
 def test_cli_compile_verilog(tmp_path):
     """--mode compile --verilog end-to-end; --verilog elsewhere errors
     (flag honesty)."""

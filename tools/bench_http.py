@@ -78,7 +78,8 @@ def main():
     body = rng.standard_normal((size, size, 3)).astype(np.float32).tobytes()
 
     lat, lock = [], threading.Lock()
-    per_client = args.requests // args.clients
+    clients = min(args.clients, args.requests)
+    per_client = -(-args.requests // clients)      # ceil: run them all
 
     def client():
         mine = []
@@ -95,7 +96,7 @@ def main():
 
     # warmup burst (first padded program already compiled by serve())
     client_threads = [threading.Thread(target=client)
-                      for _ in range(args.clients)]
+                      for _ in range(clients)]
     wall0 = time.perf_counter()
     for c in client_threads:
         c.start()
@@ -110,7 +111,7 @@ def main():
     res = {
         "model": args.model + ("+lut" if args.lut else ""),
         "platform": args.platform or "default",
-        "clients": args.clients, "requests": n,
+        "clients": clients, "requests": n,
         "serve_batch": args.serve_batch,
         "req_per_s": round(n / wall, 2),
         "p50_ms": round(float(lat_ms[n // 2]), 2),
@@ -124,7 +125,7 @@ def main():
         with open("results/http_bench.json") as f:
             out = json.load(f)
     out[f"{res['model']}@{res['platform']}"
-        f"/c{args.clients}b{args.serve_batch}"] = res
+        f"/c{clients}b{args.serve_batch}"] = res
     with open("results/http_bench.json", "w") as f:
         json.dump(out, f, indent=1)
 
