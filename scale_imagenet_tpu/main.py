@@ -25,8 +25,13 @@ import jax.numpy as jnp
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TTnet TPU harness")
-    p.add_argument("--mode", choices=["eval", "train", "compile", "serve"],
+    p.add_argument("--mode",
+                   choices=["eval", "train", "compile", "serve", "export"],
                    default="eval")
+    p.add_argument("--export_out", type=str, default="./exported.pth",
+                   help="--mode export: write the model as a REFERENCE-"
+                        "compatible torch .pth (loads strict into the "
+                        "reference classes)")
     p.add_argument("--port", type=int, default=8000,
                    help="--mode serve: HTTP port (0 = ephemeral)")
     p.add_argument("--serve_host", type=str, default="127.0.0.1",
@@ -615,6 +620,26 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         fc = getattr(model.config, "fcsize", None)   # ResNets have none
         print(f"model {model.name}: {n_params:,} params"
               + (f", fcsize {fc}" if fc is not None else ""))
+
+    if cfg.mode == "export":
+        # reverse checkpoint bridge: this framework's weights -> the
+        # reference's own torch classes (convert/torch_export.py)
+        for flag, name in ((cfg.lut, "--lut"), (cfg.gates, "--gates"),
+                           (cfg.fold_bn, "--fold_bn"),
+                           (cfg.bf16, "--bf16"),
+                           (cfg.fuse_quant, "--fuse_quant"),
+                           (cfg.tp, "--tp"), (cfg.sp, "--sp"),
+                           (cfg.amp, "--amp")):
+            if flag:
+                raise ValueError(
+                    f"--mode export writes the UNMODIFIED weights in the "
+                    f"reference layout; {name} does not apply")
+        from .convert.torch_export import save_torch_checkpoint
+
+        path = save_torch_checkpoint(cfg.export_out, params, state,
+                                     model.config)
+        print(f"wrote reference-compatible checkpoint: {path}")
+        return path
 
     if cfg.mode == "compile":
         # truth-table compilation: every Block_TT of every multi-head block
