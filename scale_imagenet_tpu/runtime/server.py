@@ -53,6 +53,9 @@ class DynamicBatcher:
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self.served = 0
+        self.batches = 0                 # device programs run
+        self._lat_ring = [0.0] * 512     # recent per-batch device ms
+        self._lat_n = 0
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -68,6 +71,20 @@ class DynamicBatcher:
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["out"]
+
+    def stats(self) -> dict:
+        """Serving health: throughput counters, batch fill (amortization
+        the dynamic batcher achieved), recent device-batch latency."""
+        lat = sorted(self._lat_ring[:min(self._lat_n, 512)])
+        return {
+            "served": self.served,
+            "batches": self.batches,
+            "avg_batch_fill": round(self.served / self.batches, 2)
+            if self.batches else 0.0,
+            "batch_ms_p50": round(lat[len(lat) // 2], 2) if lat else None,
+            "batch_ms_p95": round(lat[int(len(lat) * 0.95)], 2)
+            if lat else None,
+        }
 
     def close(self):
         self._stop.set()
@@ -105,9 +122,15 @@ class DynamicBatcher:
                                xs.dtype)
                 xs = np.concatenate([xs, pad])
             try:
+                t0 = time.perf_counter()
                 out = np.asarray(self._forward(jnp.asarray(xs)))[:n]
-                self.served += n        # before done.set(): a caller may
-                # read/reset the counter the moment its event fires
+                ms = (time.perf_counter() - t0) * 1e3
+                # stats before done.set(): a caller may read/reset the
+                # counters the moment its event fires
+                self.served += n
+                self.batches += 1
+                self._lat_ring[self._lat_n % 512] = ms
+                self._lat_n += 1
                 for i, (_, done, slot) in enumerate(batch):
                     slot["out"] = out[i]
                     done.set()
@@ -168,9 +191,12 @@ def serve(model, params, state, transform, input_shape, *,
     batcher = DynamicBatcher(forward, example, batch_size=batch_size,
                              max_wait_ms=max_wait_ms)
     # compile once at startup so the first request doesn't pay it (the
-    # generous timeout covers a first TPU compile over a slow link)
+    # generous timeout covers a first TPU compile over a slow link);
+    # drop the warmup from the stats — its latency is the compile
     batcher.submit(example, timeout=600.0)
     batcher.served = 0
+    batcher.batches = 0
+    batcher._lat_n = 0
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):   # route through our verbosity
@@ -192,7 +218,7 @@ def serve(model, params, state, transform, input_shape, *,
                 "model": model.name,
                 "backend": jax.default_backend(),
                 "batch_size": batch_size,
-                "served": batcher.served,
+                **batcher.stats(),
             })
 
         def do_POST(self):

@@ -153,6 +153,8 @@ def test_http_health_and_errors(tiny_server):
             f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
         h = json.loads(r.read())
     assert h["model"] == model.name and h["served"] >= 1
+    assert h["batches"] >= 1 and h["avg_batch_fill"] >= 1.0
+    assert h["batch_ms_p50"] is None or h["batch_ms_p50"] > 0
 
     # malformed body -> 400 JSON error, not a hung connection
     try:
