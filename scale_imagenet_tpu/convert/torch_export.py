@@ -85,15 +85,84 @@ def export_ttnet_imagenet(params, state, cfg) -> dict:
     return sd
 
 
+def export_tt_fhe(params, state, cfg) -> dict:
+    """TT_FHE family -> torch layout (inverse of ``import_tt_fhe``,
+    TT_FHE_SMALL.py:592-621).  The classifier style comes from the
+    config's spec: flat sequential ('plain'/'two_bn'), Classifier_scale
+    submodule ('scale'), or the Classifier_scale_new split head
+    ('scale_new')."""
+    sd: dict = {}
+    sd["features.0.weight"] = conv_weight_to_oihw(
+        params["stem_conv"]["weight"])
+    _bn_out(sd, "features.1", params["stem_bn"], state["stem_bn"])
+    if "stem_act" in params:        # Bi-Real BinaryActivation stem
+        sd["features.2.alpha_a"] = np.asarray(params["stem_act"]["alpha"])
+        sd["features.2.beta_a"] = np.asarray(params["stem_act"]["beta"])
+    else:                           # Binarize01Act stem (STE buffer)
+        _grad_scale(sd, "features.2")
+
+    n_blocks = len(cfg.block_configs())
+    for b in range(n_blocks):
+        base = f"features.{3 + b}"
+        bp, bs = params[f"block{b}"], state[f"block{b}"]
+        for ours, tname in (("conv1", "Block_conv1"),
+                            ("conv2", "Block_conv2"),
+                            ("conv3", "Block_conv3"),
+                            ("convf", "Block_convf")):
+            if ours in bp:
+                _block_tt_out(sd, f"{base}.{tname}", bp[ours], bs[ours])
+
+    cls = 3 + n_blocks + 2          # skip pool + flatten
+    style = cfg.spec["classifier"]
+    if style == "scale_new":
+        cp, cs = params["classifier"], state["classifier"]
+        for lin in ("lin1", "lin2"):
+            sd[f"features.{cls}.{lin}.weight"] = linear_weight_to_oi(
+                cp[lin]["weight"])
+        sd[f"features.{cls}.linvf.weight"] = linear_weight_to_oi(
+            cp["linvf"]["weight"])
+        sd[f"features.{cls}.linvf.bias"] = np.asarray(cp["linvf"]["bias"])
+        for theirs, ours in (("BN1", "bn1"), ("BN2", "bn2"),
+                             ("BNvf", "bnvf")):
+            _bn_out(sd, f"features.{cls}.{theirs}", cp[ours], cs[ours])
+        return sd
+    if style == "scale":
+        sd[f"features.{cls}.lin1.weight"] = linear_weight_to_oi(
+            params["lin1"]["weight"])
+        _bn_out(sd, f"features.{cls}.BN2", params["bn1"], state["bn1"])
+        sd[f"features.{cls}.lin2.weight"] = linear_weight_to_oi(
+            params["lin2"]["weight"])
+        sd[f"features.{cls}.lin2.bias"] = np.asarray(
+            params["lin2"]["bias"])
+        return sd
+    # flat sequential: lin, bn, lin[, bn] ('plain' / 'two_bn')
+    sd[f"features.{cls}.weight"] = linear_weight_to_oi(
+        params["lin1"]["weight"])
+    if "bias" in params["lin1"]:
+        sd[f"features.{cls}.bias"] = np.asarray(params["lin1"]["bias"])
+    _bn_out(sd, f"features.{cls + 1}", params["bn1"], state["bn1"])
+    sd[f"features.{cls + 2}.weight"] = linear_weight_to_oi(
+        params["lin2"]["weight"])
+    if "bias" in params["lin2"]:
+        sd[f"features.{cls + 2}.bias"] = np.asarray(params["lin2"]["bias"])
+    if "bn2" in params:
+        _bn_out(sd, f"features.{cls + 3}", params["bn2"], state["bn2"])
+    return sd
+
+
 def export_state_dict(params, state, cfg) -> dict:
     """Family dispatch (mirrors ``load_params``'s importer table)."""
+    from ..models.tt_fhe import TTFHEConfig
     from ..models.ttnet_imagenet import TTnetImageNetConfig
 
     if isinstance(cfg, TTnetImageNetConfig):
         return export_ttnet_imagenet(params, state, cfg)
+    if isinstance(cfg, TTFHEConfig):
+        return export_tt_fhe(params, state, cfg)
     raise ValueError(
-        "torch export supports the ttnet_imagenet family (the released-"
-        f"checkpoint family), not {type(cfg).__name__}")
+        "torch export supports the ttnet_imagenet and TT_FHE families "
+        f"(the released-checkpoint and deployment families), not "
+        f"{type(cfg).__name__}")
 
 
 def save_torch_checkpoint(path: str, params, state, cfg) -> str:
