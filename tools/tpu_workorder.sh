@@ -27,4 +27,9 @@ timeout 1800 python -u tools/exp_lut_layout.py --tax > /tmp/wo_tax.log 2>&1
 # 5. chip generalization artifact (64^2, 100 epochs, all 3 milestones)
 timeout 5400 python -u tools/train_generalization.py > /tmp/wo_gen.log 2>&1
 
+# 6. HTTP serving smoke on the real chip (round 4: --mode serve);
+#    numbers are tunnel-transfer-bound, the point is the path works
+timeout 1800 python -u tools/bench_http.py --platform "" --clients 8 \
+    --requests 64 > /tmp/wo_http.log 2>&1
+
 echo WORKORDER-DONE
