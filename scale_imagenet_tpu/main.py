@@ -118,6 +118,11 @@ def parse_args(argv=None):
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: bf16 forward/"
                         "backward, f32 master params + optimizer")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient accumulation: execute each step's "
+                        "batch as N sequential microbatches (one "
+                        "resident activation set — the HBM lever for "
+                        "batches that don't fit), one optimizer update")
     p.add_argument("--lut", action="store_true",
                    help="serve the compiled network: truth-table LUT "
                         "blocks (Pallas gather kernel on TPU) instead of "
@@ -629,7 +634,8 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.bf16, "--bf16"),
                            (cfg.fuse_quant, "--fuse_quant"),
                            (cfg.tp, "--tp"), (cfg.sp, "--sp"),
-                           (cfg.amp, "--amp")):
+                           (cfg.amp, "--amp"),
+                           (cfg.grad_accum > 1, "--grad_accum")):
             if flag:
                 raise ValueError(
                     f"--mode export writes the UNMODIFIED weights in the "
@@ -720,6 +726,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.bias_decay > 0, "--bias_decay"),
                            (cfg.shards_dir is not None, "--shards_dir"),
                            (cfg.native_data, "--native_data"),
+                           (cfg.grad_accum > 1, "--grad_accum"),
                            (world > 1, "--num_processes")):
             if flag:
                 raise ValueError(f"--mode serve is single-host inference "
@@ -790,6 +797,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
             raise ValueError("--stability_eps/--abstract_eps/--bias_decay "
                              "enable robust TRAINING (--mode train); "
                              "they do not affect eval")
+        if cfg.grad_accum > 1:
+            raise ValueError("--grad_accum microbatches TRAINING steps "
+                             "(--mode train); eval has no gradients")
         if cfg.gates:
             if cfg.lut:
                 raise ValueError("--gates and --lut are two serving modes "
@@ -1027,6 +1037,18 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError("--sp is spatially-partitioned EVAL; training "
                          "shards the batch ('data' axis) and channel "
                          "groups (--tp)")
+    if cfg.grad_accum < 1:
+        raise ValueError("--grad_accum must be >= 1")
+    if cfg.grad_accum > 1:
+        if cfg.tp:
+            raise ValueError("--grad_accum microbatches the plain/amp "
+                             "train step; --tp training does not "
+                             "support it — drop one")
+        if cfg.stability_eps > 0 or cfg.abstract_eps > 0 \
+                or cfg.bias_decay > 0:
+            raise ValueError("--grad_accum is not supported with robust "
+                             "training (--stability_eps/--abstract_eps/"
+                             "--bias_decay); drop one")
     if cfg.tp:
         from .models.ttnet_imagenet import TTnetImageNetConfig
 
@@ -1047,6 +1069,13 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError(f"train batch {cfg.train_batch_size} not "
                          f"divisible by {world} processes")
     local_tbs = cfg.train_batch_size // world
+    if cfg.grad_accum > 1:
+        shard_bs = local_tbs // mesh.shape["data"]  # per shard_map shard
+        if local_tbs % mesh.shape["data"] or shard_bs % cfg.grad_accum:
+            raise ValueError(
+                f"--grad_accum {cfg.grad_accum}: per-shard batch "
+                f"{local_tbs}/{mesh.shape['data']} must be divisible "
+                "by grad_accum")
     train_kwargs = {}
     if cfg.shards_dir:
         # pre-decoded uint8 shards, augmented ON DEVICE: pre-crop shards
@@ -1159,6 +1188,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                 **train_kwargs)
         else:
             train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
+                                         accum=cfg.grad_accum,
                                          **train_kwargs)
         # best tracking lives at the stable <root>/ckpt/<log_name>/ parent
         # so it is continuous across resumed runs (each run's step dirs

@@ -204,8 +204,15 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
 
 def make_train_step(model, tx, mesh: Mesh | None = None,
                     amp: bool = False, normalize=None,
-                    augment=False):
+                    augment=False, accum: int = 1):
     """Returns ``train_step(ts: TrainState, images, labels, key)``.
+
+    ``accum``: gradient accumulation — the step's batch executes as
+    ``accum`` sequential microbatches under ``lax.scan`` (one resident
+    activation set; the HBM lever for batches that don't fit), gradients
+    and metrics averaged, ONE optimizer update.  BN semantics match
+    sequential small batches: per-microbatch statistics, running stats
+    threaded through the scan.
 
     The multi-device version runs under shard_map — NOT GSPMD: XLA's SPMD
     partitioner computes doubled weight gradients for grouped convolutions
@@ -253,6 +260,47 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         loss = cross_entropy(logits, labels)
         return loss, (new_state, logits)
 
+    def grad_phase(params, model_state, images, labels, key,
+                   axis=None):
+        """Gradients + metrics at FIXED params; microbatched when
+        accum > 1 (grads/metrics averaged, BN state threaded)."""
+        if accum == 1:
+            (loss, (new_state, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, model_state, images,
+                                       labels, key)
+            top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+            return grads, new_state, loss, top1, top5
+
+        mb = images.shape[0] // accum
+        mb_im = images.reshape((accum, mb) + images.shape[1:])
+        mb_lb = labels.reshape(accum, mb)
+
+        def body(carry, xs):
+            g_acc, st, l_acc, t1_acc, t5_acc, i = carry
+            im, lb = xs
+            k = None if key is None else jax.random.fold_in(key, i)
+            (loss, (st, logits)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, st, im, lb, k)
+            t1, t5 = accuracy_topk(logits, lb, topk=(1, 5))
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, st, l_acc + loss, t1_acc + t1, t5_acc + t5,
+                    i + 1), None
+
+        zero = jnp.zeros((), jnp.float32)
+        init = (jax.tree.map(jnp.zeros_like, params), model_state,
+                zero, zero, zero, jnp.zeros((), jnp.int32))
+        if axis is not None:
+            # under shard_map the body's outputs vary over the data
+            # axis; the scan carry types must match from step 0
+            init = jax.tree.map(
+                lambda a: jax.lax.pcast(a, (axis,), to="varying"), init)
+        (grads, new_state, loss, top1, top5, _), _ = jax.lax.scan(
+            body, init, (mb_im, mb_lb))
+        inv = 1.0 / accum
+        scale = lambda t: jax.tree.map(lambda a: a * inv, t)  # noqa: E731
+        return scale(grads), new_state, loss * inv, top1 * inv, \
+            top5 * inv
+
     def train_step(ts: TrainState, images, labels, key,
                    axis: str | None = None):
         if axis is not None:
@@ -261,10 +309,8 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
             # torch RNG; a replicated key would correlate augmentation
             # across the global batch
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        (loss, (new_state, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(ts.params, ts.model_state, images,
-                                   labels, key)
-        top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+        grads, new_state, loss, top1, top5 = grad_phase(
+            ts.params, ts.model_state, images, labels, key, axis=axis)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)

@@ -91,3 +91,92 @@ def test_multisample_loss_trains():
     g = jax.grad(total_loss)(params)
     gnorm = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_grad_accum_matches_manual_spec():
+    """accum=2 step == the spec computed by hand: per-microbatch grads
+    at FIXED params (BN state threaded), averaged, ONE optimizer update.
+    Uses a deterministic model (no augment, no stochastic act)."""
+    import dataclasses
+
+    import optax
+
+    model = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4,
+                      layers=0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = optax.sgd(0.1)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (8, 224, 224, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 1000)
+    key = jax.random.PRNGKey(3)
+
+    # --- manual spec
+    from scale_imagenet_tpu.train.losses import cross_entropy
+
+    def loss_fn(p, s, im, lb):
+        logits, s2 = model.apply(p, s, im, training=True)
+        return cross_entropy(logits, lb), s2
+
+    st = state
+    grads_sum = None
+    loss_sum = 0.0
+    for i in range(2):
+        im, lb = images[i * 4:(i + 1) * 4], labels[i * 4:(i + 1) * 4]
+        (loss, st), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, st, im, lb)
+        loss_sum += float(loss)
+        grads_sum = g if grads_sum is None else jax.tree.map(
+            jnp.add, grads_sum, g)
+    grads = jax.tree.map(lambda a: a / 2.0, grads_sum)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    want_params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    # --- the accum step
+    ts = TrainState(params, state, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, accum=2)
+    ts2, metrics = step(ts, images, labels, key)
+
+    np.testing.assert_allclose(float(metrics["loss"]), loss_sum / 2.0,
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts2.params),
+                    jax.tree.leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ts2.model_state),
+                    jax.tree.leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_grad_accum_trains_and_cli_honesty(tmp_path):
+    """accum>1 still learns on a fixed batch; inapplicable flag combos
+    error through the CLI."""
+    import pytest
+
+    model = get_model("tt_fhe_small", nfilter=2, tfilter=2,
+                      num_classes=10)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(lr=0.05, weight_decay=0.0, milestones=(1000,))
+    ts = TrainState(params, state, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, accum=4)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+    losses = []
+    key = jax.random.PRNGKey(3)
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        ts, m = step(ts, images, labels, sub)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-4:]) < losses[0] - 0.1, losses
+
+    from scale_imagenet_tpu.main import main
+
+    with pytest.raises(ValueError, match="no gradients"):
+        main(["--mode", "eval", "--grad_accum", "2", "--nfilter", "4",
+              "--tfilter", "4", "--layers", "0",
+              "--root_dir", str(tmp_path)])
+    with pytest.raises(ValueError, match="--tp"):
+        main(["--mode", "train", "--grad_accum", "2", "--tp",
+              "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+              "--root_dir", str(tmp_path)])
