@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--mode",
                    choices=["eval", "train", "compile", "serve", "export"],
                    default="eval")
+    p.add_argument("--list_models", action="store_true",
+                   help="print every registry model name (reference "
+                        "class names work verbatim) and exit")
     p.add_argument("--export_out", type=str, default="./exported.pth",
                    help="--mode export: write the model as a REFERENCE-"
                         "compatible torch .pth (loads strict into the "
@@ -562,6 +565,13 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
     """CLI entry.  ``serve_ready``/``serve_stop``: optional events for
     --mode serve (tests run the server in a thread and stop it)."""
     cfg = parse_args(argv)
+
+    if cfg.list_models:
+        from .models import list_models
+
+        names = list_models()
+        print("\n".join(names))
+        return names
 
     # platform forcing + distributed rendezvous must happen BEFORE any
     # backend use (the first PRNGKey/device query pins the backend); if a

@@ -525,3 +525,13 @@ def test_cli_gate_eval(tmp_path):
               "--nfilter", "4", "--tfilter", "4",
               "--compile_out", str(tmp_path / "tt"),
               "--root_dir", str(tmp_path), "--gates", "dnf"])
+
+
+def test_cli_list_models():
+    """--list_models prints the registry (reference names verbatim)."""
+    from scale_imagenet_tpu.main import main
+
+    names = main(["--list_models"])
+    assert "TT_vf_19lv3_imgnet_small" in names
+    assert "TT_FHE_SMALL" in names and "resnet18" in names
+    assert len(names) >= 65
