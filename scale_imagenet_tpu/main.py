@@ -573,6 +573,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         print("\n".join(names))
         return names
 
+    if cfg.grad_accum < 1:
+        raise ValueError("--grad_accum must be >= 1")
+
     # platform forcing + distributed rendezvous must happen BEFORE any
     # backend use (the first PRNGKey/device query pins the backend); if a
     # host process (tests) already initialized the backend, the updates
@@ -645,7 +648,17 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.fuse_quant, "--fuse_quant"),
                            (cfg.tp, "--tp"), (cfg.sp, "--sp"),
                            (cfg.amp, "--amp"),
-                           (cfg.grad_accum > 1, "--grad_accum")):
+                           (cfg.grad_accum > 1, "--grad_accum"),
+                           (cfg.certify > 0, "--certify"),
+                           (bool(cfg.attack), "--attack"),
+                           (cfg.attack_eps > 0, "--attack_eps"),
+                           (cfg.attack_lr > 0, "--attack_lr"),
+                           (cfg.stability_eps > 0, "--stability_eps"),
+                           (cfg.abstract_eps > 0, "--abstract_eps"),
+                           (cfg.bias_decay > 0, "--bias_decay"),
+                           (cfg.shards_dir is not None, "--shards_dir"),
+                           (cfg.native_data, "--native_data"),
+                           (world > 1, "--num_processes")):
             if flag:
                 raise ValueError(
                     f"--mode export writes the UNMODIFIED weights in the "
@@ -671,6 +684,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         if cfg.sp or cfg.tp:
             raise ValueError("--sp/--tp shard EVAL over the mesh; "
                              "truth-table compilation is per-block")
+        if cfg.grad_accum > 1:
+            raise ValueError("--grad_accum microbatches TRAINING steps; "
+                             "compilation has no gradients")
         if cfg.gates:
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
@@ -1047,8 +1063,6 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError("--sp is spatially-partitioned EVAL; training "
                          "shards the batch ('data' axis) and channel "
                          "groups (--tp)")
-    if cfg.grad_accum < 1:
-        raise ValueError("--grad_accum must be >= 1")
     if cfg.grad_accum > 1:
         if cfg.tp:
             raise ValueError("--grad_accum microbatches the plain/amp "

@@ -52,10 +52,8 @@ class DynamicBatcher:
         self._shape = tuple(example_input.shape)   # per-sample HWC
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
-        self.served = 0
-        self.batches = 0                 # device programs run
-        self._lat_ring = [0.0] * 512     # recent per-batch device ms
-        self._lat_n = 0
+        self._stats_lock = threading.Lock()
+        self.reset_stats()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -72,15 +70,26 @@ class DynamicBatcher:
             raise RuntimeError(slot["error"])
         return slot["out"]
 
+    _LAT_WINDOW = 512                   # recent-batch latency ring size
+
+    def reset_stats(self):
+        self.served = 0
+        self.batches = 0                 # device programs run
+        self._lat_ring = [0.0] * self._LAT_WINDOW
+        self._lat_n = 0
+
     def stats(self) -> dict:
         """Serving health: throughput counters, batch fill (amortization
         the dynamic batcher achieved), recent device-batch latency."""
-        lat = sorted(self._lat_ring[:min(self._lat_n, 512)])
+        with self._stats_lock:
+            served, batches = self.served, self.batches
+            lat = sorted(self._lat_ring[:min(self._lat_n,
+                                             self._LAT_WINDOW)])
         return {
-            "served": self.served,
-            "batches": self.batches,
-            "avg_batch_fill": round(self.served / self.batches, 2)
-            if self.batches else 0.0,
+            "served": served,
+            "batches": batches,
+            "avg_batch_fill": round(served / batches, 2)
+            if batches else 0.0,
             "batch_ms_p50": round(lat[len(lat) // 2], 2) if lat else None,
             "batch_ms_p95": round(lat[int(len(lat) * 0.95)], 2)
             if lat else None,
@@ -127,10 +136,11 @@ class DynamicBatcher:
                 ms = (time.perf_counter() - t0) * 1e3
                 # stats before done.set(): a caller may read/reset the
                 # counters the moment its event fires
-                self.served += n
-                self.batches += 1
-                self._lat_ring[self._lat_n % 512] = ms
-                self._lat_n += 1
+                with self._stats_lock:
+                    self.served += n
+                    self.batches += 1
+                    self._lat_ring[self._lat_n % self._LAT_WINDOW] = ms
+                    self._lat_n += 1
                 for i, (_, done, slot) in enumerate(batch):
                     slot["out"] = out[i]
                     done.set()
@@ -194,9 +204,7 @@ def serve(model, params, state, transform, input_shape, *,
     # generous timeout covers a first TPU compile over a slow link);
     # drop the warmup from the stats — its latency is the compile
     batcher.submit(example, timeout=600.0)
-    batcher.served = 0
-    batcher.batches = 0
-    batcher._lat_n = 0
+    batcher.reset_stats()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):   # route through our verbosity

@@ -77,13 +77,15 @@ def test_reference_strict_load_and_forward_parity(x64):
 @pytest.mark.parametrize("ref_mod,ref_cls,reg_name", [
     ("models.TT_FHE_SMALL", "TT_FHE_SMALL", "TT_FHE_SMALL"),
     ("models.TT_FHE_XSMALL", "TT_FHE_XSMALL", "TT_FHE_XSMALL"),
+    ("models.TT_FHE", "TT_FHE_small", "TT_FHE_small"),
+    ("models.TT_FHE_ref", "TT_FHE_ref", "TT_FHE_ref"),
 ])
 def test_fhe_export_reproduces_reference_state_dict(ref_mod, ref_cls,
                                                     reg_name):
     """export(import(reference sd)) == the reference's OWN state dict,
     key set and values — so a strict load back into the reference class
-    is guaranteed (covers the flat-sequential and Classifier_scale
-    styles)."""
+    is guaranteed (covers every style with a reference torch twin:
+    flat-sequential two_bn/plain and Classifier_scale)."""
     import importlib
 
     from scale_imagenet_tpu.convert import export_state_dict
@@ -107,6 +109,22 @@ def test_fhe_export_reproduces_reference_state_dict(ref_mod, ref_cls,
         np.testing.assert_allclose(
             np.asarray(sd1[k], np.float64),
             np.asarray(sd0[k], np.float64), atol=0, err_msg=k)
+
+
+def test_fhe_scale_new_roundtrip_exact():
+    """The Classifier_scale_new style (polyhead — no standalone
+    reference torch class in this image) round-trips bit-exactly
+    through export -> import."""
+    from scale_imagenet_tpu.convert import export_state_dict
+    from scale_imagenet_tpu.convert.torch_import import import_tt_fhe
+
+    m = get_model("TT_FHE_SMALL_polyhead", nfilter=4, tfilter=4)
+    params, state = m.init(jax.random.PRNGKey(2))
+    sd = export_state_dict(params, state, m.config)
+    p2, s2 = import_tt_fhe(sd, m.config)
+    for a, b in zip(jax.tree.leaves((params, state)),
+                    jax.tree.leaves((p2, s2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_cli_export_roundtrips_through_eval(tmp_path):
