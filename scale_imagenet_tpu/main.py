@@ -121,6 +121,11 @@ def parse_args(argv=None):
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: bf16 forward/"
                         "backward, f32 master params + optimizer")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize each block under jax.checkpoint "
+                        "during training: backward recomputes block "
+                        "activations instead of keeping them resident "
+                        "(HBM for FLOPs; exact)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="gradient accumulation: execute each step's "
                         "batch as N sequential microbatches (one "
@@ -649,6 +654,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.tp, "--tp"), (cfg.sp, "--sp"),
                            (cfg.amp, "--amp"),
                            (cfg.grad_accum > 1, "--grad_accum"),
+                           (cfg.remat, "--remat"),
                            (cfg.certify > 0, "--certify"),
                            (bool(cfg.attack), "--attack"),
                            (cfg.attack_eps > 0, "--attack_eps"),
@@ -687,6 +693,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         if cfg.grad_accum > 1:
             raise ValueError("--grad_accum microbatches TRAINING steps; "
                              "compilation has no gradients")
+        if cfg.remat:
+            raise ValueError("--remat is a TRAINING memory lever; "
+                             "compilation has no backward pass")
         if cfg.gates:
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
@@ -753,6 +762,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.shards_dir is not None, "--shards_dir"),
                            (cfg.native_data, "--native_data"),
                            (cfg.grad_accum > 1, "--grad_accum"),
+                           (cfg.remat, "--remat"),
                            (world > 1, "--num_processes")):
             if flag:
                 raise ValueError(f"--mode serve is single-host inference "
@@ -826,6 +836,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         if cfg.grad_accum > 1:
             raise ValueError("--grad_accum microbatches TRAINING steps "
                              "(--mode train); eval has no gradients")
+        if cfg.remat:
+            raise ValueError("--remat trades backward-pass HBM for "
+                             "recompute (--mode train); eval keeps no "
+                             "activations")
         if cfg.gates:
             if cfg.lut:
                 raise ValueError("--gates and --lut are two serving modes "
@@ -1063,6 +1077,26 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError("--sp is spatially-partitioned EVAL; training "
                          "shards the batch ('data' axis) and channel "
                          "groups (--tp)")
+    if cfg.remat:
+        from .models.ttnet_imagenet import TTnetImageNetConfig, \
+            ttnet_imagenet_apply
+
+        if not isinstance(model.config, TTnetImageNetConfig):
+            raise ValueError(
+                "--remat rematerializes the ttnet_imagenet block stack, "
+                f"not {type(model.config).__name__}")
+        if cfg.tp:
+            raise ValueError("--tp training runs its own shard_map "
+                             "blocks; --remat applies to the plain/amp "
+                             "step — drop one")
+        import dataclasses as _dc
+
+        rcfg = _dc.replace(model.config, remat=True)
+        model = _dc.replace(
+            model, config=rcfg,
+            apply=lambda p, s, x, training=False, key=None:
+                ttnet_imagenet_apply(p, s, rcfg, x, training, key))
+
     if cfg.grad_accum > 1:
         if cfg.tp:
             raise ValueError("--grad_accum microbatches the plain/amp "

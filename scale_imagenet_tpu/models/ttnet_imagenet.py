@@ -73,6 +73,11 @@ class TTnetImageNetConfig:
     # "s2d": avgpool+conv7 folded into one space-to-depth conv (TPU-fast,
     # exact up to float summation order); "reference": literal op order
     stem_impl: str = "s2d"
+    # rematerialize each multi-head block under jax.checkpoint: the
+    # backward pass recomputes block activations instead of keeping
+    # them resident — the HBM lever for deep/wide configs (exact; same
+    # values, more FLOPs)
+    remat: bool = False
 
     @property
     def p(self) -> int:
@@ -148,11 +153,22 @@ def ttnet_imagenet_features(params, state, cfg: TTnetImageNetConfig, x,
     x, new_state["stem_bn"] = batch_norm(params["stem_bn"], state["stem_bn"],
                                          x, training)
     x = binarize01_act(x)
+    block_fn = multihead_block
+    if cfg.remat:
+        def _block(bp, bs, bcfg, xx, training, bkey):
+            return multihead_block(bp, bs, bcfg, xx, training=training,
+                                   key=bkey)
+        block_fn = jax.checkpoint(_block, static_argnums=(2, 4))
     for i, bcfg in enumerate(cfg.block_configs()):
         bkey = None if key is None else jax.random.fold_in(key, i)
-        x, new_state[f"block{i}"] = multihead_block(
-            params[f"block{i}"], state[f"block{i}"], bcfg, x,
-            training=training, key=bkey)
+        if cfg.remat:
+            x, new_state[f"block{i}"] = block_fn(
+                params[f"block{i}"], state[f"block{i}"], bcfg, x,
+                training, bkey)
+        else:
+            x, new_state[f"block{i}"] = block_fn(
+                params[f"block{i}"], state[f"block{i}"], bcfg, x,
+                training=training, key=bkey)
     x = avg_pool(x, 2)
     x = flatten(x)
     return x, new_state

@@ -180,3 +180,46 @@ def test_grad_accum_trains_and_cli_honesty(tmp_path):
         main(["--mode", "train", "--grad_accum", "2", "--tp",
               "--nfilter", "4", "--tfilter", "4", "--layers", "0",
               "--root_dir", str(tmp_path)])
+
+
+def test_remat_is_exact():
+    """jax.checkpoint block remat: identical loss and updated params
+    (same values, recomputed in backward), composes with grad_accum."""
+    import dataclasses
+
+    import optax
+
+    model = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4,
+                      layers=0)
+    from scale_imagenet_tpu.models.ttnet_imagenet import \
+        ttnet_imagenet_apply
+
+    rcfg = dataclasses.replace(model.config, remat=True)
+    rmodel = dataclasses.replace(
+        model, config=rcfg,
+        apply=lambda p, s, x, training=False, key=None:
+            ttnet_imagenet_apply(p, s, rcfg, x, training, key))
+
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 224, 224, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 1000)
+    key = jax.random.PRNGKey(3)
+    tx = optax.sgd(0.1)
+
+    outs = []
+    for m, accum in ((model, 1), (rmodel, 1), (rmodel, 2)):
+        ts = TrainState(jax.tree.map(jnp.copy, params),
+                        jax.tree.map(jnp.copy, state),
+                        tx.init(params), jnp.zeros((), jnp.int32))
+        step = make_train_step(m, tx, accum=accum)
+        ts2, metrics = step(ts, images, labels, key)
+        outs.append((float(metrics["loss"]), ts2.params))
+
+    assert outs[0][0] == outs[1][0]      # remat: bit-identical loss
+    # grads are recomputed -> XLA may reorder float ops; value-equal
+    # within f32 summation slack
+    for a, b in zip(jax.tree.leaves(outs[0][1]),
+                    jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    assert np.isfinite(outs[2][0])       # remat + accum composes
