@@ -31,6 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--list_models", action="store_true",
                    help="print every registry model name (reference "
                         "class names work verbatim) and exit")
+    p.add_argument("--compile_cache", type=str, default=None,
+                   help="persistent XLA compilation-cache dir: repeat "
+                        "invocations load compiled programs instead of "
+                        "recompiling (big win over the remote-compile "
+                        "TPU link)")
     p.add_argument("--export_out", type=str, default="./exported.pth",
                    help="--mode export: write the model as a REFERENCE-"
                         "compatible torch .pth (loads strict into the "
@@ -592,6 +597,13 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
             jax.config.update("jax_num_cpu_devices", cfg.cpu_devices)
     except RuntimeError as e:
         print(f"platform flags ignored (backend already live): {e}")
+    if cfg.compile_cache:
+        # persistent XLA compilation cache: repeat invocations reuse
+        # compiled programs instead of paying the (remote) compile again
+        os.makedirs(cfg.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cfg.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     multiproc = (cfg.num_processes or 0) > 1 or cfg.coordinator_address
     if multiproc:
         from .parallel.multihost import initialize

@@ -535,3 +535,18 @@ def test_cli_list_models():
     assert "TT_vf_19lv3_imgnet_small" in names
     assert "TT_FHE_SMALL" in names and "resnet18" in names
     assert len(names) >= 65
+
+
+def test_cli_compile_cache(fake_imagenet, tmp_path):
+    """--compile_cache persists XLA programs: the dir populates on the
+    first run and a second run reproduces the metrics from cache."""
+    from scale_imagenet_tpu.main import main
+
+    cache = str(tmp_path / "xla_cache")
+    base = ["--mode", "eval", "--data_dir", fake_imagenet,
+            "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+            "--eval_batch_size", "4", "--mesh_data", "1",
+            "--compile_cache", cache, "--root_dir", str(tmp_path)]
+    first = main(base)
+    assert os.listdir(cache), "compilation cache did not populate"
+    assert main(base) == first
