@@ -67,6 +67,13 @@ def parse_args(argv=None):
                    help=".pth (torch) or orbax checkpoint dir")
 
     p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--lr_schedule", choices=["multistep", "cosine"],
+                   default="multistep",
+                   help="multistep = the reference recipe "
+                        "(main.py:194-198); cosine = warmup + cosine "
+                        "decay over --max_epochs")
+    p.add_argument("--warmup_epochs", type=float, default=0.0,
+                   help="linear LR warmup epochs (both schedules)")
     p.add_argument("--wd", type=float, default=1e-4)
     p.add_argument("--train_batch_size", type=int, default=256)
     p.add_argument("--eval_batch_size", type=int, default=100)
@@ -1190,7 +1197,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
     milestones = (30, 60, 90) if cfg.max_epochs == 90 else (60, 100, 140)
     tx, schedule = make_optimizer(cfg.lr, weight_decay=cfg.wd,
                                   milestones=milestones,
-                                  steps_per_epoch=steps_per_epoch)
+                                  steps_per_epoch=steps_per_epoch,
+                                  schedule=cfg.lr_schedule,
+                                  max_epochs=cfg.max_epochs,
+                                  warmup_epochs=cfg.warmup_epochs)
     with mesh:
         # the dp shard_map train step keeps params replicated over both
         # axes; the TP step re-places them channel-sharded below

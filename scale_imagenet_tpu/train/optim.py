@@ -17,12 +17,52 @@ def multistep_lr(base_lr: float, milestones, gamma: float = 0.1,
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def cosine_lr(base_lr: float, max_epochs: int, steps_per_epoch: int = 1,
+              warmup_epochs: int = 0, final_scale: float = 0.0):
+    """Linear warmup from 0 to ``base_lr`` over ``warmup_epochs``, then
+    cosine decay to ``final_scale * base_lr`` at ``max_epochs`` — the
+    modern ImageNet recipe (no reference equivalent; theirs is
+    MultiStepLR only, main.py:194-198)."""
+    warmup = int(warmup_epochs * steps_per_epoch)
+    total = max(int(max_epochs * steps_per_epoch), warmup + 1)
+    cos = optax.cosine_decay_schedule(base_lr, total - warmup,
+                                      alpha=final_scale)
+    if warmup == 0:
+        return cos
+    lin = optax.linear_schedule(0.0, base_lr, warmup)
+    return optax.join_schedules([lin, cos], [warmup])
+
+
 def make_optimizer(lr: float = 0.1, momentum: float = 0.9,
                    weight_decay: float = 1e-4, milestones=(30, 60, 90),
-                   gamma: float = 0.1, steps_per_epoch: int = 1):
-    schedule = multistep_lr(lr, milestones, gamma, steps_per_epoch)
+                   gamma: float = 0.1, steps_per_epoch: int = 1,
+                   schedule: str = "multistep", max_epochs: int = 90,
+                   warmup_epochs: int = 0):
+    """SGD + momentum with a step-indexed LR schedule.
+
+    ``schedule``: "multistep" (the reference recipe) or "cosine"
+    (linear warmup + cosine decay over ``max_epochs``).
+    """
+    if schedule == "multistep":
+        base = multistep_lr(lr, milestones, gamma, steps_per_epoch)
+        if warmup_epochs:
+            import jax.numpy as jnp
+
+            warm = max(1, int(warmup_epochs * steps_per_epoch))
+
+            def sched(count):
+                # linear ramp TIMES the multistep curve — milestone
+                # epochs stay absolute (not shifted by the warmup)
+                return base(count) * jnp.minimum(1.0, (count + 1) / warm)
+        else:
+            sched = base
+    elif schedule == "cosine":
+        sched = cosine_lr(lr, max_epochs, steps_per_epoch, warmup_epochs)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r} "
+                         "(multistep | cosine)")
     tx = optax.chain(
         optax.add_decayed_weights(weight_decay),
-        optax.sgd(schedule, momentum=momentum),
+        optax.sgd(sched, momentum=momentum),
     )
-    return tx, schedule
+    return tx, sched

@@ -223,3 +223,53 @@ def test_remat_is_exact():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
     assert np.isfinite(outs[2][0])       # remat + accum composes
+
+
+def test_lr_schedules():
+    """Cosine warmup+decay and multistep-with-warmup: curve values at
+    the defining points; milestone epochs stay ABSOLUTE under warmup."""
+    from scale_imagenet_tpu.train.optim import cosine_lr, make_optimizer
+
+    spe = 10
+    s = cosine_lr(0.4, max_epochs=10, steps_per_epoch=spe,
+                  warmup_epochs=2)
+    assert float(s(0)) < 0.03                       # ramp starts at ~0
+    np.testing.assert_allclose(float(s(2 * spe)), 0.4, rtol=1e-6)
+    assert float(s(10 * spe)) < 1e-3                # decayed to ~0
+    # monotone decay after warmup
+    assert float(s(5 * spe)) > float(s(8 * spe))
+
+    _, ms = make_optimizer(lr=0.4, milestones=(3, 6),
+                           steps_per_epoch=spe, warmup_epochs=1)
+    assert float(ms(0)) <= 0.04 + 1e-6              # warming up
+    np.testing.assert_allclose(float(ms(spe)), 0.4, rtol=1e-5)
+    np.testing.assert_allclose(float(ms(3 * spe)), 0.04, rtol=1e-5)
+    np.testing.assert_allclose(float(ms(6 * spe)), 0.004, rtol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_optimizer(schedule="nope")
+
+
+def test_cosine_schedule_trains():
+    """The cosine+warmup optimizer still learns on a fixed batch."""
+    from scale_imagenet_tpu.train.optim import make_optimizer as mk
+
+    model = get_model("tt_fhe_small", nfilter=2, tfilter=2,
+                      num_classes=10)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = mk(lr=0.05, weight_decay=0.0, schedule="cosine",
+               max_epochs=1, steps_per_epoch=12, warmup_epochs=0.25)
+    ts = TrainState(params, state, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+    losses = []
+    key = jax.random.PRNGKey(3)
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        ts, m = step(ts, images, labels, sub)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-4:]) < losses[0] - 0.05, losses
