@@ -133,6 +133,11 @@ def parse_args(argv=None):
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: bf16 forward/"
                         "backward, f32 master params + optimizer")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="keep an EMA of the params (decay, e.g. 0.999) "
+                        "inside the optimizer state; per-epoch val "
+                        "also scores the EMA weights and best-tracking "
+                        "uses them (they are the deployable weights)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize each block under jax.checkpoint "
                         "during training: backward recomputes block "
@@ -592,6 +597,8 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
 
     if cfg.grad_accum < 1:
         raise ValueError("--grad_accum must be >= 1")
+    if cfg.ema and not (0.0 < cfg.ema < 1.0):
+        raise ValueError(f"--ema decay must be in (0, 1), got {cfg.ema}")
 
     # platform forcing + distributed rendezvous must happen BEFORE any
     # backend use (the first PRNGKey/device query pins the backend); if a
@@ -674,6 +681,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.amp, "--amp"),
                            (cfg.grad_accum > 1, "--grad_accum"),
                            (cfg.remat, "--remat"),
+                           (cfg.ema > 0, "--ema"),
                            (cfg.certify > 0, "--certify"),
                            (bool(cfg.attack), "--attack"),
                            (cfg.attack_eps > 0, "--attack_eps"),
@@ -715,6 +723,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         if cfg.remat:
             raise ValueError("--remat is a TRAINING memory lever; "
                              "compilation has no backward pass")
+        if cfg.ema > 0:
+            raise ValueError("--ema accumulates during TRAINING; "
+                             "compile the weights you pass in")
         if cfg.gates:
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
@@ -782,6 +793,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.native_data, "--native_data"),
                            (cfg.grad_accum > 1, "--grad_accum"),
                            (cfg.remat, "--remat"),
+                           (cfg.ema > 0, "--ema"),
                            (world > 1, "--num_processes")):
             if flag:
                 raise ValueError(f"--mode serve is single-host inference "
@@ -859,6 +871,11 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
             raise ValueError("--remat trades backward-pass HBM for "
                              "recompute (--mode train); eval keeps no "
                              "activations")
+        if cfg.ema > 0:
+            raise ValueError("--ema accumulates during TRAINING (--mode "
+                             "train); to eval EMA weights, load the "
+                             "checkpoint of an --ema run (best tracking "
+                             "already scored them)")
         if cfg.gates:
             if cfg.lut:
                 raise ValueError("--gates and --lut are two serving modes "
@@ -1201,6 +1218,16 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                   schedule=cfg.lr_schedule,
                                   max_epochs=cfg.max_epochs,
                                   warmup_epochs=cfg.warmup_epochs)
+    if cfg.ema > 0:
+        if cfg.tp:
+            raise ValueError("--ema keeps a replicated params copy in "
+                             "the optimizer state; --tp training shards "
+                             "its optimizer — drop one")
+        import optax
+
+        from .train.optim import params_ema
+
+        tx = optax.chain(tx, params_ema(cfg.ema))
     with mesh:
         # the dp shard_map train step keeps params replicated over both
         # axes; the TP step re-places them channel-sharded below
@@ -1383,6 +1410,18 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                               f"top5 {top5:.3f}% loss {vloss:.4f}")
                         logger.add_scalar("Accuracy/val", top1, epoch)
                     metric = top1
+                    if cfg.ema > 0:
+                        from .train.optim import get_ema
+
+                        e1, e5, eloss = validator(get_ema(ts.opt_state),
+                                                  ts.model_state, epoch)
+                        if is_coord:
+                            print(f"epoch {epoch} val[ema]: top1 "
+                                  f"{e1:.3f}% top5 {e5:.3f}% loss "
+                                  f"{eloss:.4f}")
+                            logger.add_scalar("Accuracy/val_ema", e1,
+                                              epoch)
+                        metric = e1   # the deployable weights
                 if ckpt is not None or (cfg.tp and world > 1):
                     payload = ckpt_payload(ts)  # collective: all ranks
                 if ckpt is not None:

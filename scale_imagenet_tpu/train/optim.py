@@ -1,8 +1,10 @@
 """Optimizer: SGD + momentum + MultiStepLR, as in the reference
-(main.py:194-198), built on optax."""
+(main.py:194-198), built on optax; plus cosine/warmup schedules and a
+params-EMA keeper (no reference equivalents)."""
 
 from __future__ import annotations
 
+import jax
 import optax
 
 
@@ -31,6 +33,41 @@ def cosine_lr(base_lr: float, max_epochs: int, steps_per_epoch: int = 1,
         return cos
     lin = optax.linear_schedule(0.0, base_lr, warmup)
     return optax.join_schedules([lin, cos], [warmup])
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Keep an exponential moving average of the PARAMS inside the
+    optimizer state (so checkpoints and resume carry it for free).
+    Pure bookkeeping — the updates pass through unchanged; chain it
+    LAST so it sees the final update."""
+    def init(params):
+        # COPY: the train step donates its TrainState — aliasing the
+        # params leaves here would donate the same buffer twice
+        import jax.numpy as jnp
+
+        return {"ema": jax.tree.map(lambda p: jnp.array(p, copy=True),
+                                    params)}
+
+    def update(updates, state, params=None):
+        new_p = jax.tree.map(lambda p, u: p + u, params, updates)
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           state["ema"], new_p)
+        return updates, {"ema": ema}
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema(opt_state):
+    """Extract the EMA params from an opt state whose chain includes
+    ``params_ema``; None when absent (chains nest as tuples)."""
+    if isinstance(opt_state, dict):
+        return opt_state.get("ema")
+    if isinstance(opt_state, tuple):
+        for part in opt_state:
+            found = get_ema(part)
+            if found is not None:
+                return found
+    return None
 
 
 def make_optimizer(lr: float = 0.1, momentum: float = 0.9,

@@ -273,3 +273,72 @@ def test_cosine_schedule_trains():
         ts, m = step(ts, images, labels, sub)
         losses.append(float(m["loss"]))
     assert np.mean(losses[-4:]) < losses[0] - 0.05, losses
+
+
+def test_params_ema_spec_and_resume_payload():
+    """params_ema: hand-computed EMA after two SGD steps; the EMA rides
+    in opt_state (so checkpoints carry it) and get_ema finds it."""
+    import optax
+
+    from scale_imagenet_tpu.train.optim import get_ema, params_ema
+
+    decay = 0.9
+    p0 = {"w": jnp.asarray([1.0, 2.0])}
+    tx = optax.chain(optax.sgd(0.5), params_ema(decay))
+    st = tx.init(p0)
+    assert get_ema(st) is not None
+
+    g = {"w": jnp.asarray([1.0, 1.0])}
+    p, ema_want = p0, p0["w"]
+    for _ in range(2):
+        updates, st = tx.update(g, st, p)
+        p = jax.tree.map(lambda a, u: a + u, p, updates)
+        ema_want = decay * ema_want + (1 - decay) * p["w"]
+    np.testing.assert_allclose(np.asarray(get_ema(st)["w"]),
+                               np.asarray(ema_want), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["w"]),
+                               np.asarray(p0["w"]) - 1.0, rtol=1e-6)
+
+
+def test_ema_trains_and_cli_honesty(tmp_path):
+    """EMA chained into the real train step: EMA params trail the live
+    params toward the solution; --ema errors outside train."""
+    import optax
+    import pytest
+
+    from scale_imagenet_tpu.train.optim import get_ema, params_ema
+
+    model = get_model("tt_fhe_small", nfilter=2, tfilter=2,
+                      num_classes=10)
+    params, state = model.init(jax.random.PRNGKey(0))
+    base, _ = make_optimizer(lr=0.05, weight_decay=0.0,
+                             milestones=(1000,))
+    tx = optax.chain(base, params_ema(0.8))
+    params_np = jax.tree.map(np.asarray, params)  # ts donates params
+    ts = TrainState(params, state, tx.init(params),
+                    jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+    key = jax.random.PRNGKey(3)
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        ts, _m = step(ts, images, labels, sub)
+    ema = get_ema(ts.opt_state)
+    # EMA differs from both init and live params but moved off init
+    d_init = sum(float(jnp.abs(a - jnp.asarray(b)).sum()) for a, b in
+                 zip(jax.tree.leaves(ema), jax.tree.leaves(params_np)))
+    d_live = sum(float(jnp.abs(a - b).sum()) for a, b in
+                 zip(jax.tree.leaves(ema), jax.tree.leaves(ts.params)))
+    assert d_init > 0 and d_live > 0
+
+    from scale_imagenet_tpu.main import main
+
+    with pytest.raises(ValueError, match="--ema"):
+        main(["--mode", "eval", "--ema", "0.999", "--nfilter", "4",
+              "--tfilter", "4", "--layers", "0",
+              "--root_dir", str(tmp_path)])
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        main(["--mode", "train", "--ema", "1.5", "--nfilter", "4",
+              "--tfilter", "4", "--layers", "0",
+              "--data_dir", str(tmp_path), "--root_dir", str(tmp_path)])
