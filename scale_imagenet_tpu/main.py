@@ -133,6 +133,9 @@ def parse_args(argv=None):
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: bf16 forward/"
                         "backward, f32 master params + optimizer")
+    p.add_argument("--label_smooth", type=float, default=0.0,
+                   help="label smoothing for the train CE (torch "
+                        "label_smoothing semantics)")
     p.add_argument("--ema", type=float, default=0.0,
                    help="keep an EMA of the params (decay, e.g. 0.999) "
                         "inside the optimizer state; per-epoch val "
@@ -599,6 +602,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         raise ValueError("--grad_accum must be >= 1")
     if cfg.ema and not (0.0 < cfg.ema < 1.0):
         raise ValueError(f"--ema decay must be in (0, 1), got {cfg.ema}")
+    if not (0.0 <= cfg.label_smooth < 1.0):
+        raise ValueError(f"--label_smooth must be in [0, 1), got "
+                         f"{cfg.label_smooth}")
 
     # platform forcing + distributed rendezvous must happen BEFORE any
     # backend use (the first PRNGKey/device query pins the backend); if a
@@ -682,6 +688,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.grad_accum > 1, "--grad_accum"),
                            (cfg.remat, "--remat"),
                            (cfg.ema > 0, "--ema"),
+                           (cfg.label_smooth > 0, "--label_smooth"),
                            (cfg.certify > 0, "--certify"),
                            (bool(cfg.attack), "--attack"),
                            (cfg.attack_eps > 0, "--attack_eps"),
@@ -726,6 +733,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         if cfg.ema > 0:
             raise ValueError("--ema accumulates during TRAINING; "
                              "compile the weights you pass in")
+        if cfg.label_smooth > 0:
+            raise ValueError("--label_smooth shapes the TRAIN loss; "
+                             "compilation evaluates the forward only")
         if cfg.gates:
             raise ValueError(
                 "--gates is an eval serving mode (--mode eval --gates "
@@ -794,6 +804,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                            (cfg.grad_accum > 1, "--grad_accum"),
                            (cfg.remat, "--remat"),
                            (cfg.ema > 0, "--ema"),
+                           (cfg.label_smooth > 0, "--label_smooth"),
                            (world > 1, "--num_processes")):
             if flag:
                 raise ValueError(f"--mode serve is single-host inference "
@@ -876,6 +887,9 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                              "train); to eval EMA weights, load the "
                              "checkpoint of an --ema run (best tracking "
                              "already scored them)")
+        if cfg.label_smooth > 0:
+            raise ValueError("--label_smooth shapes the TRAIN loss; "
+                             "eval reports plain CE")
         if cfg.gates:
             if cfg.lut:
                 raise ValueError("--gates and --lut are two serving modes "
@@ -1133,6 +1147,12 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
             apply=lambda p, s, x, training=False, key=None:
                 ttnet_imagenet_apply(p, s, rcfg, x, training, key))
 
+    if cfg.label_smooth > 0 and (
+            cfg.tp or cfg.stability_eps > 0 or cfg.abstract_eps > 0
+            or cfg.bias_decay > 0):
+        raise ValueError("--label_smooth applies to the plain/amp train "
+                         "step's CE; the --tp and robust steps use their "
+                         "own losses — drop one")
     if cfg.grad_accum > 1:
         if cfg.tp:
             raise ValueError("--grad_accum microbatches the plain/amp "
@@ -1296,6 +1316,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         else:
             train_step = make_train_step(model, tx, mesh, amp=cfg.amp,
                                          accum=cfg.grad_accum,
+                                         label_smooth=cfg.label_smooth,
                                          **train_kwargs)
         # best tracking lives at the stable <root>/ckpt/<log_name>/ parent
         # so it is continuous across resumed runs (each run's step dirs

@@ -6,10 +6,15 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean CE over the batch (torch nn.CrossEntropyLoss semantics)."""
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  smoothing: float = 0.0) -> jnp.ndarray:
+    """Mean CE over the batch (torch nn.CrossEntropyLoss semantics,
+    incl. its ``label_smoothing``: target = (1-s)·one_hot + s/C)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if smoothing > 0.0:
+        uniform = -jnp.mean(logp, axis=-1)       # -sum(logp)/C
+        nll = (1.0 - smoothing) * nll + smoothing * uniform
     return jnp.mean(nll)
 
 

@@ -204,7 +204,8 @@ def make_eval_step(model, mesh: Mesh | None = None, key=None,
 
 def make_train_step(model, tx, mesh: Mesh | None = None,
                     amp: bool = False, normalize=None,
-                    augment=False, accum: int = 1):
+                    augment=False, accum: int = 1,
+                    label_smooth: float = 0.0):
     """Returns ``train_step(ts: TrainState, images, labels, key)``.
 
     ``accum``: gradient accumulation — the step's batch executes as
@@ -257,7 +258,7 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
             logits = logits.astype(jnp.float32)
             new_state = jax.tree.map(lambda a, b: b.astype(a.dtype),
                                      state, new_state)
-        loss = cross_entropy(logits, labels)
+        loss = cross_entropy(logits, labels, smoothing=label_smooth)
         return loss, (new_state, logits)
 
     def grad_phase(params, model_state, images, labels, key,

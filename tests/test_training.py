@@ -342,3 +342,31 @@ def test_ema_trains_and_cli_honesty(tmp_path):
         main(["--mode", "train", "--ema", "1.5", "--nfilter", "4",
               "--tfilter", "4", "--layers", "0",
               "--data_dir", str(tmp_path), "--root_dir", str(tmp_path)])
+
+
+def test_label_smoothing_matches_torch_formula():
+    """cross_entropy(smoothing=s) == torch nn.CrossEntropyLoss(
+    label_smoothing=s), and the flag errors where it cannot act."""
+    import pytest
+    import torch
+
+    from scale_imagenet_tpu.train.losses import cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((8, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, 8)
+    for s in (0.0, 0.1, 0.3):
+        ours = float(cross_entropy(jnp.asarray(logits),
+                                   jnp.asarray(labels), smoothing=s))
+        theirs = float(torch.nn.CrossEntropyLoss(label_smoothing=s)(
+            torch.tensor(logits), torch.tensor(labels)))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+    from scale_imagenet_tpu.main import main
+
+    with pytest.raises(ValueError, match="TRAIN loss"):
+        main(["--mode", "eval", "--label_smooth", "0.1",
+              "--nfilter", "4", "--tfilter", "4", "--layers", "0"])
+    with pytest.raises(ValueError, match="\\[0, 1\\)"):
+        main(["--mode", "train", "--label_smooth", "1.5",
+              "--nfilter", "4", "--tfilter", "4", "--layers", "0"])
