@@ -65,7 +65,10 @@ def _enable_compile_cache():
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        # only the minutes-long remote compiles are worth persisting;
+        # caching every trivial program would grow .xla_cache unboundedly
+        # across rounds
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # cache is an optimization, never a failure
         print(f"compile cache disabled: {e}", file=sys.stderr)
@@ -188,6 +191,20 @@ def extras():
     out["lut_b256_ips"] = round(_ips(lut_apply, params, state, x), 1)
     out["lut_b1_ms"] = round(1e3 / _ips(lut_apply, params, state,
                                         x1, iters=40), 3)
+
+    # Analytic FLOPs of one conv forward (host-side cost analysis of the
+    # unoptimized HLO — no extra device compile); main() turns this into
+    # TF/s and MFU so rounds are comparable on utilization, not just
+    # img/s.
+    try:
+        ca = jax.jit(conv_apply).lower(params, state, x).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float((ca or {}).get("flops", 0.0))
+        if fl > 0:
+            out["conv_flops_per_batch"] = fl
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
@@ -316,6 +333,15 @@ def main():
                 result[out_key] = round(val, nd)
         if sb:
             result["extras_source"] = "results/serve_bench.json (recorded)"
+
+    # utilization: TF/s of the measured conv forward and MFU vs the
+    # v5e's 197 TF/s bf16 MXU peak (f32 runs below that peak by design;
+    # the ratio is still the cross-round comparable).
+    fl = result.get("conv_flops_per_batch")
+    if fl:
+        tf = fl * result["conv_b256_ips"] / BATCH / 1e12
+        result["conv_tf_per_s"] = round(tf, 2)
+        result["mfu_vs_bf16_peak"] = round(tf / 197.0, 4)
 
     # headline = the fastest serving mode of the SAME network.  The
     # compiled-LUT path is bit-faithful with the conv forward (same

@@ -15,6 +15,8 @@ serving format.
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 import warnings
 
 import numpy as np
@@ -22,6 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from .lut_eval import BlockLUT, MultiHeadLUT
+
+#: Bump whenever the LUT compiler or the Pallas packing layout changes in
+#: a way that makes previously-saved archives non-equivalent.  Stored in
+#: every archive next to the weights digest; a mismatch at load refuses
+#: the archive (benchmarks must never silently serve tables packed by an
+#: older compiler).
+LUT_FORMAT_VERSION = 2
 
 
 def params_digest(params, state=None) -> str:
@@ -46,7 +55,7 @@ def params_digest(params, state=None) -> str:
 
 def save_luts(path: str, luts: list[MultiHeadLUT],
               params=None, state=None) -> None:
-    arrs = {}
+    arrs = {"__format_version__": np.int64(LUT_FORMAT_VERSION)}
     if params is not None:
         arrs["__params_digest__"] = np.frombuffer(
             params_digest(params, state).encode(), dtype=np.uint8)
@@ -59,7 +68,22 @@ def save_luts(path: str, luts: list[MultiHeadLUT],
             arrs[f"b{i}_convf_table"] = np.asarray(ml.convf.table)
             if ml.convf.packed is not None:
                 arrs[f"b{i}_convf_packed"] = np.asarray(ml.convf.packed)
-    np.savez_compressed(path, **arrs)
+    # Atomic: bench runs under hard subprocess timeouts; a kill mid-write
+    # must not leave a truncated archive at the final path (the next run
+    # would pay the full ~5 min recompile, get killed during the save,
+    # and the cache would never materialize).
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path))
+                               or ".", suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **arrs)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_luts(path: str, model_cfg, params=None, state=None
@@ -76,6 +100,13 @@ def load_luts(path: str, model_cfg, params=None, state=None
     from .lut_eval import _index_weights
 
     data = np.load(path)
+    ver = data.get("__format_version__")
+    ver = None if ver is None else int(ver)
+    if ver != LUT_FORMAT_VERSION:
+        raise ValueError(
+            f"LUT archive {path} has format version {ver}, this compiler "
+            f"writes {LUT_FORMAT_VERSION}; the packing layout may differ — "
+            "delete the archive to recompile.")
     if params is not None:
         want = params_digest(params, state)
         stored = data.get("__params_digest__")

@@ -765,6 +765,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
             summary = compile_model_truth_tables(
                 items, cfg.compile_out,
                 max_minimize_bits=cfg.max_minimize_bits)
+            # gate counts are a property of the weights the tables were
+            # enumerated from — say which inside the artifact itself
+            summary["weights"] = (os.path.basename(cfg.ckpt) if cfg.ckpt
+                                  else "random-init")
             print(json.dumps(summary, indent=2))
             with open(os.path.join(cfg.compile_out, "summary.json"),
                       "w") as f:

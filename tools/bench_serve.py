@@ -109,9 +109,20 @@ def main():
             print(f"sweep B={Bs:3d}: conv {mc:7.2f} ms  lut {ml:7.2f} ms",
                   flush=True)
 
-    with open(os.path.abspath(OUT), "w") as fh:
-        json.dump(res, fh, indent=1)
-    print(f"wrote {os.path.abspath(OUT)}")
+    # merge: keep keys a previous run measured that this run didn't (e.g.
+    # the --sweep crossover data), so a refresh never silently drops
+    # recorded fallback data from the archive
+    out_path = os.path.abspath(OUT)
+    merged = {}
+    try:
+        with open(out_path) as fh:
+            merged = json.load(fh)
+    except Exception:
+        pass
+    merged.update(res)
+    with open(out_path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

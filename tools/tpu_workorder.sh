@@ -32,4 +32,10 @@ timeout 5400 python -u tools/train_generalization.py > /tmp/wo_gen.log 2>&1
 timeout 1800 python -u tools/bench_http.py --platform "" --clients 8 \
     --requests 64 > /tmp/wo_http.log 2>&1
 
+
+
+# 7. commit what was measured — the workorder must not leave dirty
+#    result files behind when the round snapshots (VERDICT r4 #7)
+git add results/ 2>/dev/null
+git diff --cached --quiet || git commit -m "results: TPU workorder measurement refresh"
 echo WORKORDER-DONE
