@@ -1158,10 +1158,6 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                          "step's CE; the --tp and robust steps use their "
                          "own losses — drop one")
     if cfg.grad_accum > 1:
-        if cfg.tp:
-            raise ValueError("--grad_accum microbatches the plain/amp "
-                             "train step; --tp training does not "
-                             "support it — drop one")
         if cfg.stability_eps > 0 or cfg.abstract_eps > 0 \
                 or cfg.bias_decay > 0:
             raise ValueError("--grad_accum is not supported with robust "
@@ -1243,10 +1239,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                   max_epochs=cfg.max_epochs,
                                   warmup_epochs=cfg.warmup_epochs)
     if cfg.ema > 0:
-        if cfg.tp:
-            raise ValueError("--ema keeps a replicated params copy in "
-                             "the optimizer state; --tp training shards "
-                             "its optimizer — drop one")
+        # under --tp the EMA keeper's params-shaped state shards over
+        # 'model' exactly like the momentum trace (parallel/tp.py
+        # _opt_specs), and the TP validator consumes the sharded EMA
+        # params directly
         import optax
 
         from .train.optim import params_ema
@@ -1292,6 +1288,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
 
             ts = shard_train_state_tp(ts, mesh)
             train_step = make_tp_train_step(model, tx, mesh,
+                                            accum=cfg.grad_accum,
                                             **train_kwargs)
         elif cfg.stability_eps > 0 or cfg.abstract_eps > 0 \
                 or cfg.bias_decay > 0:

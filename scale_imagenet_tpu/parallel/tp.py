@@ -255,7 +255,7 @@ def make_tp_lut_eval_step(model, mesh: Mesh, normalize=None):
 
 
 def make_tp_train_step(model, tx, mesh: Mesh, normalize=None,
-                       augment=False):
+                       augment=False, accum: int = 1):
     """Channel-group tensor-parallel TRAINING step (shard_map).
 
     Params stay channel-sharded over 'model' exactly as in TP eval — the
@@ -271,6 +271,11 @@ def make_tp_train_step(model, tx, mesh: Mesh, normalize=None,
     folded by the 'data' axis index ONLY — per-data-shard independence
     (matching the dp step), but IDENTICAL across 'model' shards, which
     all see the same images and must crop/flip them identically.
+
+    ``accum``: gradient accumulation, same semantics as the dp step —
+    each data shard's local batch executes as ``accum`` sequential
+    microbatches under ``lax.scan`` (one resident activation set),
+    gradients/metrics averaged, ONE shard-local optimizer update.
     """
     from ..train.steps import TrainState, make_input_pipeline
     from ..train.losses import cross_entropy as _ce, accuracy_topk as _topk
@@ -286,16 +291,59 @@ def make_tp_train_step(model, tx, mesh: Mesh, normalize=None,
                                            training=True, key=key)
         return _ce(logits, labels), (new_state, logits)
 
+    def grad_phase(params, model_state, images, labels, key):
+        """Gradients + metrics at FIXED params; microbatched under scan
+        when accum > 1 (mirrors train/steps.py::grad_phase)."""
+        if accum == 1:
+            (loss, (new_state, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, model_state, images,
+                                       labels, key)
+            top1, top5 = _topk(logits, labels, topk=(1, 5))
+            return grads, new_state, loss, top1, top5
+
+        mb = images.shape[0] // accum
+        mb_im = images.reshape((accum, mb) + images.shape[1:])
+        mb_lb = labels.reshape(accum, mb)
+
+        def one(st, im, lb, i):
+            k = None if key is None else jax.random.fold_in(key, i)
+            (loss, (st, logits)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, st, im, lb, k)
+            t1, t5 = _topk(logits, lb, topk=(1, 5))
+            return g, st, loss, t1, t5
+
+        def body(carry, xs):
+            g_acc, st, l_acc, t1_acc, t5_acc, i = carry
+            im, lb = xs
+            g, st, loss, t1, t5 = one(st, im, lb, i)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, st, l_acc + loss, t1_acc + t1, t5_acc + t5,
+                    i + 1), None
+
+        # Seed the carry with microbatch 0's REAL outputs: under
+        # shard_map the carry must match the body outputs in both dtype
+        # (f64 parity tests) and varying-axes (channel-shard grads vary
+        # over 'model', replicated classifier grads must NOT) —
+        # zeros_like + pcast cannot reproduce that mix; the first body
+        # evaluation produces it by construction.
+        g0, st0, l0, t10, t50 = one(model_state, mb_im[0], mb_lb[0],
+                                    jnp.zeros((), jnp.int32))
+        init = (g0, st0, l0, t10, t50, jnp.ones((), jnp.int32))
+        (grads, new_state, loss, top1, top5, _), _ = jax.lax.scan(
+            body, init, (mb_im[1:], mb_lb[1:]))
+        inv = 1.0 / accum
+        scale = lambda t: jax.tree.map(lambda a: a * inv, t)  # noqa: E731
+        return scale(grads), new_state, loss * inv, top1 * inv, \
+            top5 * inv
+
     def step(ts, images, labels, key):
         if key is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        (loss, (new_state, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(ts.params, ts.model_state, images,
-                                   labels, key)
+        grads, new_state, loss, top1, top5 = grad_phase(
+            ts.params, ts.model_state, images, labels, key)
         grads = jax.lax.pmean(grads, "data")
         new_state = jax.lax.pmean(new_state, "data")
         loss = jax.lax.pmean(loss, "data")
-        top1, top5 = _topk(logits, labels, topk=(1, 5))
         updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
         new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
         metrics = {"loss": loss,
@@ -361,7 +409,8 @@ def _opt_specs(opt_state, params):
     pspecs = tp_param_specs(params)
 
     # walk: any subtree structurally equal to params (e.g. optax's
-    # momentum trace) gets the param specs; everything else replicates
+    # momentum trace, the params-EMA keeper's {"ema": params} dict) gets
+    # the param specs; everything else replicates
     def map_state(st):
         try:
             if jax.tree_util.tree_structure(st) == \
@@ -374,6 +423,8 @@ def _opt_specs(opt_state, params):
                               for f in st._fields))
         if isinstance(st, tuple):
             return tuple(map_state(s) for s in st)
+        if isinstance(st, dict):
+            return {k: map_state(v) for k, v in st.items()}
         return jax.tree.map(lambda _: P(), st)
 
     return map_state(opt_state)

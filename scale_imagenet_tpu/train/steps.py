@@ -276,27 +276,31 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         mb_im = images.reshape((accum, mb) + images.shape[1:])
         mb_lb = labels.reshape(accum, mb)
 
-        def body(carry, xs):
-            g_acc, st, l_acc, t1_acc, t5_acc, i = carry
-            im, lb = xs
+        def one(st, im, lb, i):
             k = None if key is None else jax.random.fold_in(key, i)
             (loss, (st, logits)), g = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, st, im, lb, k)
             t1, t5 = accuracy_topk(logits, lb, topk=(1, 5))
+            return g, st, loss, t1, t5
+
+        def body(carry, xs):
+            g_acc, st, l_acc, t1_acc, t5_acc, i = carry
+            im, lb = xs
+            g, st, loss, t1, t5 = one(st, im, lb, i)
             g_acc = jax.tree.map(jnp.add, g_acc, g)
             return (g_acc, st, l_acc + loss, t1_acc + t1, t5_acc + t5,
                     i + 1), None
 
-        zero = jnp.zeros((), jnp.float32)
-        init = (jax.tree.map(jnp.zeros_like, params), model_state,
-                zero, zero, zero, jnp.zeros((), jnp.int32))
-        if axis is not None:
-            # under shard_map the body's outputs vary over the data
-            # axis; the scan carry types must match from step 0
-            init = jax.tree.map(
-                lambda a: jax.lax.pcast(a, (axis,), to="varying"), init)
+        # Seed the carry with microbatch 0's REAL outputs: the carry must
+        # match the body outputs in both dtype (f64 parity tests ran the
+        # old f32-zeros carry into a scan type error) and, under
+        # shard_map, varying-axes — the first body evaluation produces
+        # both by construction.
+        g0, st0, l0, t10, t50 = one(model_state, mb_im[0], mb_lb[0],
+                                    jnp.zeros((), jnp.int32))
+        init = (g0, st0, l0, t10, t50, jnp.ones((), jnp.int32))
         (grads, new_state, loss, top1, top5, _), _ = jax.lax.scan(
-            body, init, (mb_im, mb_lb))
+            body, init, (mb_im[1:], mb_lb[1:]))
         inv = 1.0 / accum
         scale = lambda t: jax.tree.map(lambda a: a * inv, t)  # noqa: E731
         return scale(grads), new_state, loss * inv, top1 * inv, \

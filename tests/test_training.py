@@ -176,8 +176,11 @@ def test_grad_accum_trains_and_cli_honesty(tmp_path):
         main(["--mode", "eval", "--grad_accum", "2", "--nfilter", "4",
               "--tfilter", "4", "--layers", "0",
               "--root_dir", str(tmp_path)])
-    with pytest.raises(ValueError, match="--tp"):
-        main(["--mode", "train", "--grad_accum", "2", "--tp",
+    # --tp composes with --grad_accum since round 5 (parallel/tp.py);
+    # robust training still rejects microbatching
+    with pytest.raises(ValueError, match="robust"):
+        main(["--mode", "train", "--grad_accum", "2",
+              "--stability_eps", "0.01",
               "--nfilter", "4", "--tfilter", "4", "--layers", "0",
               "--root_dir", str(tmp_path)])
 
