@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..models.block_tt import BlockTTConfig, block_tt
 from ..models.multihead import MultiHeadConfig, channel_interleave, \
     reconcile_heads
-from ..native import count_term_gates, eval_covers, expand_cover, \
+from ..native import count_term_gates, eval_covers, espresso_cover, \
     pack_table_bits, verify_cover
 from .truth_table import block_truth_table
 
@@ -86,11 +86,11 @@ def compile_block_gates(params, state, cfg: BlockTTConfig) -> BlockGates:
             continue
         bits = (col != 0).astype(np.uint8)
         packed = pack_table_bits(bits)
-        terms = expand_cover(packed, n)
+        terms = espresso_cover(packed, n)
         if verify_cover(packed, terms, n):
             raise AssertionError(f"filter {f}: DNF cover inexact")
         comp = pack_table_bits(1 - bits)
-        cnf_terms = expand_cover(comp, n)
+        cnf_terms = espresso_cover(comp, n)
         if verify_cover(comp, cnf_terms, n):
             raise AssertionError(f"filter {f}: complement cover inexact")
         constants.append(None)

@@ -74,17 +74,17 @@ def minimize_packed(table_bits: np.ndarray, n: int) -> dict:
     where cnf_terms is the minimized complement (one CNF clause per cube,
     De Morgan).
     """
-    from ..native import (count_term_gates, expand_cover, pack_table_bits,
-                          verify_cover)
+    from ..native import (count_term_gates, espresso_cover,
+                          pack_table_bits, verify_cover)
 
-    terms = expand_cover(table_bits, n)
+    terms = espresso_cover(table_bits, n)
     mism = verify_cover(table_bits, terms, n)
     if mism:
         raise AssertionError(f"espresso cover inexact: {mism} mismatches")
     comp_bits = pack_table_bits(
         1 - ((np.unpackbits(np.ascontiguousarray(table_bits),
                             bitorder="little")[: 1 << n])))
-    cnf_terms = expand_cover(comp_bits, n)
+    cnf_terms = espresso_cover(comp_bits, n)
     return {"terms": terms, "cnf_terms": cnf_terms,
             "gates": count_term_gates(terms, n)}
 

@@ -11,6 +11,7 @@ from .ttlogic import (
     native_available,
     eval_packed_table,
     eval_covers,
+    espresso_cover,
     expand_cover,
     pack_table_bits,
     count_term_gates,
@@ -23,6 +24,7 @@ __all__ = [
     "native_available",
     "eval_packed_table",
     "eval_covers",
+    "espresso_cover",
     "expand_cover",
     "pack_table_bits",
     "count_term_gates",

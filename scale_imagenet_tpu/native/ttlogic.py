@@ -53,6 +53,11 @@ def _load():
             lib.ttlogic_expand_cover.argtypes = [
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
+            lib.ttlogic_espresso.restype = ctypes.c_int
+            lib.ttlogic_espresso.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int]
             lib.ttlogic_verify_cover.restype = ctypes.c_long
             lib.ttlogic_verify_cover.argtypes = [
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
@@ -212,6 +217,29 @@ def expand_cover(packed: np.ndarray, n: int) -> list[tuple[int, int]]:
         cubes.append((value, mask))
         covered[cube_idx(value, mask)] = True
     return cubes
+
+
+def espresso_cover(packed: np.ndarray, n: int,
+                   iters: int = 2) -> list[tuple[int, int]]:
+    """Expand-and-cover followed by ``iters`` espresso REDUCE->EXPAND->
+    IRREDUNDANT iterations (native/ttlogic.cpp).  Escapes the single
+    expand pass's local optima by shrinking each cube to its essential
+    minterms and re-expanding in a rotated variable order; every
+    intermediate cover stays exact.  Falls back to the plain
+    ``expand_cover`` when the native library is unavailable."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        max_terms = 1 << min(n, 20)
+        out = np.zeros(2 * max_terms, dtype=np.uint32)
+        k = lib.ttlogic_espresso(
+            n, packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(iters),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), max_terms)
+        if k >= 0:
+            return [(int(out[2 * i]), int(out[2 * i + 1]))
+                    for i in range(k)]
+    return expand_cover(packed, n)
 
 
 def verify_cover(packed: np.ndarray, terms, n: int) -> int:
