@@ -418,36 +418,76 @@ def _as_lut_model(model, params, state, lut_path=None, save_ok=True):
 
 
 def _gate_family(config):
-    """(compile_fn, apply_fn) for gate-circuit serving, or a clear error
-    for families without one (mirrors ``_lut_family``)."""
+    """(compile_fn, host_apply, device_apply) for gate-circuit serving,
+    or a clear error for families without one (mirrors ``_lut_family``)."""
     from . import compile as C
+    from .compile import gate_device as D
     from .models.tt_fhe import TTFHEAlexnetConfig, TTFHEConfig
     from .models.ttnet_imagenet import TTnetImageNetConfig, \
         TTnetVGGStemConfig
 
     if isinstance(config, TTnetVGGStemConfig):
-        return C.compile_ttnet_gates, C.gate_ttnet_vgg_stem_apply
+        return (C.compile_ttnet_gates, C.gate_ttnet_vgg_stem_apply,
+                D.gate_ttnet_vgg_stem_apply_device)
     if isinstance(config, TTnetImageNetConfig):
-        return C.compile_ttnet_gates, C.gate_ttnet_apply
+        return (C.compile_ttnet_gates, C.gate_ttnet_apply,
+                D.gate_ttnet_apply_device)
     if isinstance(config, TTFHEConfig):
-        return C.compile_tt_fhe_gates, C.gate_tt_fhe_apply
+        return (C.compile_tt_fhe_gates, C.gate_tt_fhe_apply,
+                D.gate_tt_fhe_apply_device)
     if isinstance(config, TTFHEAlexnetConfig):
-        return C.compile_ttnet_gates, C.gate_tt_fhe_alexnet_apply
+        return (C.compile_ttnet_gates, C.gate_tt_fhe_alexnet_apply,
+                D.gate_tt_fhe_alexnet_apply_device)
     raise ValueError("--gates serving supports the ttnet_imagenet and "
                      f"TT_FHE families, not {type(config).__name__}")
 
 
 def _as_gate_model(model, params, state, form: str):
     """Wrap a model as its gate-circuit serving twin: ``apply`` executes
-    the minimized covers on the host (native bit-sliced evaluator) — the
-    deployment semantics of the compiled artifacts, bit-identical to LUT
-    serving on the boolean blocks."""
+    the minimized covers — ON DEVICE as vectorized bit-sliced int32
+    boolean ops when the padded cube tensors fit (compile/gate_device.py,
+    the FHE-family regime), else on the host via the native word-parallel
+    evaluator.  Bit-identical to LUT serving on the boolean blocks either
+    way (covers are verified minterm-exact at compile time).
+
+    The device twin is jittable: its model exposes ``jit_ok = True`` and
+    ``wrap_params`` (the cube tensors ride inside the params pytree like
+    the LUT tables — see the constants note at ``_as_lut_model``)."""
+    from .compile.gate_device import build_device_gates
     from .compile.gate_net import total_gates
 
-    compile_fn, gate_apply = _gate_family(model.config)
+    compile_fn, gate_apply, gate_apply_dev = _gate_family(model.config)
     print("compiling gate circuits (truth tables -> verified covers)...")
     gnets = compile_fn(params, state, model.config)
     print(f"circuit size: {total_gates(gnets):,} gates ({form} form)")
+
+    try:
+        gdevs = build_device_gates(gnets, form)
+    except ValueError as e:
+        gdevs = None
+        print(f"gate circuit runs on HOST ({e})")
+
+    if gdevs is not None:
+        print("gate circuit runs ON DEVICE (bit-sliced int32 cube "
+              "evaluation, 32 positions/lane)")
+
+        class _GateModelDev:
+            name = model.name + "+gates"
+            config = model.config
+            jit_ok = True
+
+            @staticmethod
+            def wrap_params(params):
+                return {"model": params, "gates": gdevs}
+
+            @staticmethod
+            def apply(params, state, x, training=False, key=None):
+                del training, key
+                return gate_apply_dev(params["gates"], params["model"],
+                                      state, model.config,
+                                      x.astype(jnp.float32)), state
+
+        return _GateModelDev()
 
     class _GateModel:
         name = model.name + "+gates"
@@ -569,6 +609,8 @@ def _apply_serving_twins(cfg, model, params, state, is_coord=True):
         params = model.wrap_params(params)
     if cfg.gates:
         model = _as_gate_model(model, params, state, cfg.gates)
+        if getattr(model, "jit_ok", False):
+            params = model.wrap_params(params)
     return model, params, state
 
 
@@ -1005,7 +1047,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                 drop_last=False, rank=rank, world=world)
 
         # step flavor
-        if cfg.gates:
+        if cfg.gates and not getattr(model, "jit_ok", False):
             # host circuit runtime — numpy/native inside, so no jit
             eval_step = _make_gate_eval_step(model, normalize=normalize)
         elif cfg.tp:

@@ -226,3 +226,96 @@ def test_fhe_alexnet_gate_forward():
     got = gate_tt_fhe_alexnet_apply(gnets, params, state, m.config, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- device
+
+
+def test_gate_device_block_bit_identical_to_host():
+    """The on-device bit-sliced evaluator (compile/gate_device.py, round
+    5) is bit-identical to the host circuit on pointwise and strided
+    blocks, both forms, f32 and bf16 bits."""
+    from scale_imagenet_tpu.compile.gate_device import \
+        build_device_block, gate_block_apply_device
+
+    for cfg, shape, key in (
+        (BlockTTConfig(in_planes=16, out_planes=16, k=1, padding=0,
+                       groupsici=4), (3, 7, 7, 16), 0),
+        (BlockTTConfig(in_planes=8, out_planes=8, k=2, padding=1,
+                       stride=2, groupsici=8), (2, 9, 9, 8), 2),
+    ):
+        params, state = init_block_tt(jax.random.PRNGKey(key), cfg)
+        state = _nontrivial_state(state)
+        bg = compile_block_gates(params, state, cfg)
+        x = (jax.random.uniform(jax.random.PRNGKey(key + 1), shape) < 0.5
+             ).astype(jnp.float32)
+        for form in ("dnf", "cnf"):
+            host = gate_block_apply(bg, x, form=form)
+            dev = build_device_block(bg, form)
+            for dt in (jnp.float32, jnp.bfloat16):
+                got = jax.jit(gate_block_apply_device)(dev, x.astype(dt))
+                assert got.dtype == dt
+                np.testing.assert_array_equal(
+                    np.asarray(got, np.float32), np.asarray(host))
+
+
+def test_gate_device_constant_filters():
+    """Constant filters bypass the device circuit exactly like the host
+    path."""
+    from scale_imagenet_tpu.compile.gate_device import \
+        build_device_block, gate_block_apply_device
+
+    cfg = BlockTTConfig(in_planes=8, out_planes=8, k=1, padding=0,
+                        groupsici=4)
+    params, state = init_block_tt(jax.random.PRNGKey(4), cfg)
+    state = _nontrivial_state(state)
+    params["bn2"]["weight"] = params["bn2"]["weight"].at[0].set(0.0) \
+                                                     .at[3].set(0.0)
+    params["bn2"]["bias"] = params["bn2"]["bias"].at[0].set(5.0) \
+                                                 .at[3].set(-5.0)
+    bg = compile_block_gates(params, state, cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(5), (2, 5, 5, 8)) < 0.5
+         ).astype(jnp.float32)
+    host = gate_block_apply(bg, x)
+    got = gate_block_apply_device(build_device_block(bg, "dnf"), x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(host))
+
+
+def test_gate_device_full_models_and_size_guard():
+    """Full-model device circuits (TTnet + FHE families) match the host
+    runtime bit-for-bit on block outputs (logits to float tolerance);
+    the size guard rejects circuits whose padded cube tensors exceed the
+    budget."""
+    import pytest
+
+    from scale_imagenet_tpu.compile.gate_device import (
+        build_device_gates, gate_tt_fhe_apply_device,
+        gate_ttnet_apply_device)
+
+    m = get_model("TT_FHE_SMALL", nfilter=4, tfilter=4)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+    gnets = compile_tt_fhe_gates(params, state, m.config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    for form in ("dnf", "cnf"):
+        host = gate_tt_fhe_apply(gnets, params, state, m.config, x,
+                                 form=form)
+        gdevs = build_device_gates(gnets, form)
+        got = jax.jit(lambda p, s, xx, g=gdevs: gate_tt_fhe_apply_device(
+            g, p, s, m.config, xx))(params, state, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(host),
+                                   rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="host evaluator"):
+        build_device_gates(gnets, "dnf", max_cube_bytes=16)
+
+    m2 = get_model("ttnet_imagenet_xsmall", nfilter=4, tfilter=4, layers=0)
+    p2, s2 = m2.init(jax.random.PRNGKey(0))
+    s2 = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, s2)
+    g2 = compile_ttnet_gates(p2, s2, m2.config)
+    x2 = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    host2 = gate_ttnet_apply(g2, p2, s2, m2.config, x2)
+    gd2 = build_device_gates(g2)
+    got2 = gate_ttnet_apply_device(gd2, p2, s2, m2.config, x2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(host2),
+                               rtol=1e-5, atol=1e-5)
