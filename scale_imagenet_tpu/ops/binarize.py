@@ -32,9 +32,15 @@ def _ste_grad(x: jnp.ndarray, g: jnp.ndarray, grad_scale) -> jnp.ndarray:
     ``g * (|x| <= 1)`` (netbin.py:203-210).
     """
     if numerics.bingrad_soft_tanh_scale is not None:
-        scale = grad_scale * numerics.bingrad_soft_tanh_scale
+        # dtype-pinned throughout: under jax.checkpoint the residuals
+        # come back WEAK-typed, and a weak-bf16 * python-float would
+        # silently promote the whole surrogate (and the cotangent) to
+        # f32 — which then fails lax.div's strict dtype check when it
+        # meets a bf16 value upstream (--amp --remat composition)
+        scale = jnp.asarray(grad_scale * numerics.bingrad_soft_tanh_scale,
+                            x.dtype)
         t = jnp.tanh(x * scale)
-        return (1.0 - t * t) * g
+        return ((1.0 - t * t) * g).astype(g.dtype)
     return (jnp.abs(x) <= 1).astype(g.dtype) * g
 
 

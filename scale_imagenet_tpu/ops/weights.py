@@ -38,7 +38,8 @@ def _decay_bin01_fwd(w, weight_decay):
 
 def _decay_bin01_bwd(res, g):
     out, weight_decay = res
-    return g + out * weight_decay, None
+    # dtype-pinned: remat residuals are weak-typed (see ops/binarize.py)
+    return (g + out * weight_decay).astype(g.dtype), None
 
 
 _decay_in_grad_bin01.defvjp(_decay_bin01_fwd, _decay_bin01_bwd)
@@ -62,7 +63,7 @@ def _decay_ternary_fwd(w, weight_decay):
 
 def _decay_ternary_bwd(res, g):
     out, weight_decay = res
-    return g + out * weight_decay, None
+    return (g + out * weight_decay).astype(g.dtype), None
 
 
 _decay_in_grad_ternary.defvjp(_decay_ternary_fwd, _decay_ternary_bwd)

@@ -89,3 +89,53 @@ def test_amp_training_reduces_loss():
         first = v if first is None else first
         last = v
     assert last < first, (first, last)
+
+
+def test_amp_composes_with_remat():
+    """--amp --remat regression: jax.checkpoint returns WEAK-typed
+    residuals, so any `residual * python_float` in a custom_vjp backward
+    silently promotes the bf16 cotangent chain to f32 — which then trips
+    lax.div's strict dtype check where it meets a bf16 value upstream
+    (or, worse, runs the whole backward in f32).  ops/binarize.py and
+    ops/weights.py pin their backward dtypes; this exercises the full
+    flagship-recipe composition: amp + remat + grad_accum + label
+    smoothing (the tools/train_flagship_width.py step)."""
+    import dataclasses
+
+    from scale_imagenet_tpu.models.ttnet_imagenet import \
+        ttnet_imagenet_apply
+    from scale_imagenet_tpu.ops import binarize
+
+    model, tx, fresh_ts, p0, x, y = _setup()
+    rcfg = dataclasses.replace(model.config, remat=True)
+    rmodel = dataclasses.replace(
+        model, config=rcfg,
+        apply=lambda p, s, xx, training=False, key=None:
+            ttnet_imagenet_apply(p, s, rcfg, xx, training, key))
+
+    # the promotion only bites when the soft-tanh STE surrogate is live
+    saved = binarize.numerics.bingrad_soft_tanh_scale
+    binarize.numerics.bingrad_soft_tanh_scale = 1.0
+    try:
+        step = make_train_step(rmodel, tx, amp=True, accum=2,
+                               label_smooth=0.1)
+        ts2, metrics = step(fresh_ts(), x, y, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        binarize.numerics.bingrad_soft_tanh_scale = saved
+
+
+def test_remat_bf16_grad_dtype():
+    """The minimal repro of the amp+remat bug: grad of a rematerialized
+    binarized function over bf16 input must come back bf16, not f32."""
+    from scale_imagenet_tpu.ops import binarize
+    from scale_imagenet_tpu.ops.binarize import binarize01_act
+
+    saved = binarize.numerics.bingrad_soft_tanh_scale
+    binarize.numerics.bingrad_soft_tanh_scale = 1.0
+    try:
+        f = jax.checkpoint(lambda v: binarize01_act(v).sum())
+        g = jax.grad(f)(jnp.ones((4, 4), jnp.bfloat16))
+        assert g.dtype == jnp.bfloat16, g.dtype
+    finally:
+        binarize.numerics.bingrad_soft_tanh_scale = saved
