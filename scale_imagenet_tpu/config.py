@@ -68,6 +68,14 @@ class PerformanceConfig:
     # of the last conv-path merge lever (ROADMAP item 2).
     merge_heads12: bool = False
 
+    # --gates serving: run the compiled circuit on the accelerator as
+    # bit-sliced int32 cube evaluation (compile/gate_device.py) when the
+    # padded cube tensors fit this budget; 0 forces the host native
+    # word-parallel evaluator (the deployment-semantics reference path).
+    # Measured on one v5e at B=256 (results/gate_eval.json): device
+    # 38,885 img/s vs host 153.8 — and vs 34,504 for conv f32.
+    gates_device_budget: int = 1 << 30
+
 
 performance = PerformanceConfig()
 

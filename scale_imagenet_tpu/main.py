@@ -461,8 +461,14 @@ def _as_gate_model(model, params, state, form: str):
     gnets = compile_fn(params, state, model.config)
     print(f"circuit size: {total_gates(gnets):,} gates ({form} form)")
 
+    from .config import performance
+
+    budget = performance.gates_device_budget
     try:
-        gdevs = build_device_gates(gnets, form)
+        if budget <= 0:
+            raise ValueError("gates_device_budget <= 0 forces the host "
+                             "native evaluator")
+        gdevs = build_device_gates(gnets, form, max_cube_bytes=budget)
     except ValueError as e:
         gdevs = None
         print(f"gate circuit runs on HOST ({e})")

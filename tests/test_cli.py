@@ -498,8 +498,18 @@ def test_cli_gate_eval(tmp_path):
             "--eval_batch_size", "4", "--num_workers", "1",
             "--root_dir", str(tmp_path), "--mesh_data", "1"]
     conv = main(args)
+    # device path (default when the cube tensors fit — round 5)
     assert main(args + ["--gates", "dnf"]) == conv
     assert main(args + ["--gates", "cnf"]) == conv
+    # forced host path (native word-parallel evaluator) — same metrics
+    from scale_imagenet_tpu.config import performance
+
+    saved = performance.gates_device_budget
+    performance.gates_device_budget = 0
+    try:
+        assert main(args + ["--gates", "dnf"]) == conv
+    finally:
+        performance.gates_device_budget = saved
 
     with pytest.raises(ValueError, match="pick one"):
         main(args + ["--gates", "dnf", "--lut"])
