@@ -125,24 +125,68 @@ def stage_fns(lut):
     return [("conv", p1), ("+inT", p2), ("+gather", p3), ("+outT", p4)]
 
 
-def transpose_tax(luts, bits):
+def collect_stage_inputs(luts, params, state, cfg, x,
+                         bits_dtype=jnp.bfloat16):
+    """REAL intermediate bits for every LUT stage by replaying the LUT
+    forward: per block, (head_input, convf_input) — the r4 tax probe fed
+    every stage block0's input, which has the wrong channel count for
+    convf and the wrong spatial extent for later blocks."""
+    from scale_imagenet_tpu.compile.lut_eval import _bits, _convf_float, \
+        lut_block_tt_apply, lut_multihead_apply
+    from scale_imagenet_tpu.layers.norm import batch_norm
+    from scale_imagenet_tpu.models.multihead import channel_interleave, \
+        reconcile_heads
+    from scale_imagenet_tpu.ops.binarize import binarize01_act
+    from scale_imagenet_tpu.pallas.stem import space_to_depth_stem
+
+    @jax.jit
+    def run(params, state, x):
+        h = space_to_depth_stem(x, params["stem_conv"]["weight"])
+        h, _ = batch_norm(params["stem_bn"], state["stem_bn"], h, False)
+        h = _bits(binarize01_act(h), bits_dtype)
+        stages = []
+        for i, lut in enumerate(luts):
+            outs = {j: lut_block_tt_apply(lut.heads[j], h)
+                    for j in sorted(lut.heads)}
+            cat = reconcile_heads(
+                outs, lut.cfg, h,
+                lambda pooled, slot: (pooled >= 0.5).astype(h.dtype))
+            if lut.cfg.fuse:
+                cat_i = channel_interleave(cat, lut.cfg.cpt)
+                stages.append((h, cat_i))
+                h = lut_multihead_apply(
+                    lut, h,
+                    convf_float=_convf_float(lut, params, state,
+                                             f"block{i}"))
+            else:
+                stages.append((h, None))
+                h = cat
+        return stages
+
+    return jax.block_until_ready(run(params, state, x))
+
+
+def transpose_tax(luts, params, state, cfg, x):
     print("--- transpose-tax decomposition (deltas between prefixes) ---",
           flush=True)
+    stages = collect_stage_inputs(luts, params, state, cfg, x)
     for bi, blk in enumerate(luts):
-        heads = {f"head{i}": h for i, h in blk.heads.items()}
+        head_in, convf_in = stages[bi]
+        named = [(f"head{i}", blk.heads[i], head_in)
+                 for i in sorted(blk.heads)]
         if blk.convf is not None and blk.convf.packed is not None \
                 and blk.convf.packed.dtype == jnp.int32:
-            heads["convf"] = blk.convf
-        for hname, lut in heads.items():
+            named.append(("convf", blk.convf, convf_in))
+        for hname, lut, bits in named:
             parts = []
             prev_ms = 0.0
             for nm, fn in stage_fns(lut):
                 ms = in_graph_ms(fn, bits)
                 parts.append(f"{nm} {ms - prev_ms:6.2f}")
                 prev_ms = ms
-            print(f"block{bi} {hname}: " + " | ".join(parts)
+            print(f"block{bi} {hname} in={tuple(bits.shape)}: "
+                  + " | ".join(parts)
                   + f"  (total {prev_ms:.2f} ms)", flush=True)
-        break  # block0 dominates; extend if needed
 
 
 def main():
@@ -170,7 +214,48 @@ def main():
 
     import sys
     if "--tax" in sys.argv:
-        transpose_tax(luts, bits.astype(jnp.bfloat16))
+        x = jax.random.uniform(key, (B, 224, 224, 3), jnp.float32)
+        transpose_tax(luts, jax.device_put(params), jax.device_put(state),
+                      model.config, jax.device_put(x))
+        return
+
+    if "--stub" in sys.argv:
+        # isolate the gather walk exactly: time the FULL pipeline with
+        # the Pallas gather replaced by a zeros stub (same shapes/dtypes,
+        # no row walk) — total minus stub = the walk's true share
+        import importlib
+
+        # the pallas package re-exports the lut_gather FUNCTION over the
+        # submodule name — fetch the module itself
+        LG = importlib.import_module(
+            "scale_imagenet_tpu.pallas.lut_gather")
+
+        real = LG.lut_gather_nhwc
+
+        def stub(packed, idx_nhwg, *, tile_rows=512, interpret=False,
+                 out_dtype=jnp.float32):
+            b, h, w, g = idx_nhwg.shape
+            f = packed.shape[1]
+            # consume idx so the index convs stay in the graph (min with
+            # 0 is 0 for the non-negative indices, but XLA cannot fold
+            # it away like it would an int*0)
+            z = jnp.minimum(idx_nhwg[..., :1], 0).astype(out_dtype)
+            return jnp.broadcast_to(z, (b, h, w, g * f))
+
+        x = jax.device_put(
+            jax.random.uniform(key, (B, 224, 224, 3), jnp.float32))
+        params_d = jax.device_put(params)
+        state_d = jax.device_put(state)
+
+        def full(p, s, xx):
+            return lut_ttnet_apply(luts, p, s, model.config, xx)
+
+        for name, fn_gather in (("real", real), ("stub", stub)):
+            LG.lut_gather_nhwc = fn_gather
+            ms = in_graph_ms(full, params_d, state_d, x)
+            print(f"full model b{B} gather={name}: {ms:7.2f} ms",
+                  flush=True)
+        LG.lut_gather_nhwc = real
         return
 
     for name, fn in (("nhwc", block_apply_nhwc), ("nchw", block_apply_nchw)):
