@@ -862,17 +862,34 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                 raise ValueError(f"--mode serve is single-host inference "
                                  f"serving; {name} does not apply")
         if cfg.gates:
-            raise ValueError("--gates is the host verification runtime — "
-                             "its numpy walk cannot enter the server's "
-                             "jitted forward; serve the compiled network "
-                             "with --lut")
+            # circuit serving via the DEVICE runtime (bit-sliced int32
+            # cube evaluation) — the host word-parallel evaluator cannot
+            # enter the server's jitted forward, so the circuit must fit
+            # config.performance.gates_device_budget (checked below,
+            # after compilation sizes it)
+            if cfg.lut:
+                raise ValueError("--gates and --lut are two serving "
+                                 "modes for the same compiled network — "
+                                 "pick one")
+            if cfg.bf16:
+                raise ValueError("--gates executes boolean covers (its "
+                                 "float stem/classifier stay f32); "
+                                 "--bf16 cannot apply")
+            if cfg.fold_bn:
+                raise ValueError("--fold_bn perturbs pre-Heaviside "
+                                 "values at float precision, which can "
+                                 "flip truth-table rows; gate circuits "
+                                 "compile from the unfolded model — "
+                                 "drop --fold_bn")
         from .runtime.server import serve
 
-        # --mesh_data -1 = auto: all local devices — except for --lut,
-        # whose Pallas gather GSPMD cannot partition (auto falls back to
+        # --mesh_data -1 = auto: all local devices — except for the
+        # compiled modes: --lut's Pallas gather GSPMD cannot partition,
+        # and --gates' bit-packed lanes don't shard (auto falls back to
         # one chip; an EXPLICIT multi-device mesh still errors)
         mesh_data = cfg.mesh_data
-        if cfg.lut and mesh_data == -1 and cfg.mesh_model == 1:
+        if (cfg.lut or cfg.gates) and mesh_data == -1 \
+                and cfg.mesh_model == 1:
             mesh_data = 1
         mesh = make_mesh(mesh_data, cfg.mesh_model)
         multi = mesh.shape["data"] > 1 or mesh.shape["model"] > 1
@@ -883,6 +900,11 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                     "--lut serving runs the Pallas gather single-chip "
                     "(GSPMD cannot partition the kernel); mesh-sharded "
                     "compiled serving is --mode eval --tp --lut")
+            if cfg.gates:
+                raise ValueError(
+                    "--gates serving runs the bit-sliced circuit "
+                    "single-chip (packed int32 lanes don't shard); "
+                    "drop the mesh flags")
             if cfg.serve_batch % mesh.shape["data"]:
                 raise ValueError(
                     f"--serve_batch {cfg.serve_batch} not divisible by "
@@ -897,6 +919,12 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                  f"{mesh.shape['model']}")
         model, params, state = _apply_serving_twins(cfg, model, params,
                                                     state)
+        if cfg.gates and not getattr(model, "jit_ok", False):
+            raise ValueError(
+                "--gates: this circuit's padded cube tensors exceed "
+                "config.performance.gates_device_budget, so it would run "
+                "on the HOST evaluator — which cannot enter the server's "
+                "jitted forward.  Raise the budget, or serve --lut")
         eval_tfm, _ = _pick_transforms(model)
         return serve(model, params, state, eval_tfm, (size, size, 3),
                      host=cfg.serve_host, port=cfg.port,

@@ -290,6 +290,54 @@ def test_cli_serve_flag_honesty(tmp_path):
                        (["--attack", "fgsm"], "--attack"),
                        (["--shards_dir", "/tmp/x"], "--shards_dir"),
                        (["--native_data"], "--native_data"),
-                       (["--gates", "dnf"], "--lut")]:
+                       (["--gates", "dnf", "--lut"], "pick one"),
+                       (["--gates", "dnf", "--bf16"], "--bf16"),
+                       (["--gates", "dnf", "--fold_bn"], "--fold_bn"),
+                       (["--gates", "dnf", "--mesh_data", "2"],
+                        "single-chip")]:
         with pytest.raises(ValueError, match=msg):
             main(base + extra)
+
+
+def test_cli_serve_gates_composition(tmp_path):
+    """--mode serve --gates dnf: the compiled boolean CIRCUIT serves
+    HTTP requests through the DEVICE runtime (bit-sliced int32 cube
+    evaluation), answers identical to the conv forward; the host-only
+    fallback (budget exceeded) is a clear startup error instead of a
+    silently unjittable server."""
+    from scale_imagenet_tpu.config import performance
+    from scale_imagenet_tpu.main import main
+
+    ready = threading.Event()
+    stop = threading.Event()
+    args = ["--mode", "serve", "--model", "TT_FHE_SMALL",
+            "--nfilter", "4", "--tfilter", "4", "--gates", "dnf",
+            "--port", "0", "--serve_batch", "2", "--serve_wait_ms", "1",
+            "--root_dir", str(tmp_path)]
+    t = threading.Thread(target=main, args=(args,),
+                         kwargs=dict(serve_ready=ready, serve_stop=stop),
+                         daemon=True)
+    t.start()
+    try:
+        assert ready.wait(300), "gate server failed to start"
+        port = ready.port
+
+        model = get_model("TT_FHE_SMALL", nfilter=4, tfilter=4)
+        params, state = model.init(jax.random.PRNGKey(0))  # --seed 0
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        out = _post(port, x.tobytes(), "application/octet-stream")
+        logits, _ = model.apply(params, state, jnp.asarray(x)[None],
+                                training=False)
+        assert out["top5"][0] == int(jnp.argmax(logits[0]))
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+    saved = performance.gates_device_budget
+    performance.gates_device_budget = 1   # force the host path
+    try:
+        with pytest.raises(ValueError, match="gates_device_budget"):
+            main(args)
+    finally:
+        performance.gates_device_budget = saved
