@@ -57,3 +57,30 @@ def test_cpu_schedule_generalization():
                              eval_every_epochs=2)
     assert res["final_val_top1"] >= 70.0, res
     _milestones_acted(res["curve"], (4, 8))
+
+
+_FLAGWIDTH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "train_flagship_width.json")
+
+
+def test_flagship_width_artifact():
+    """The flagship-WIDTH chip run (tools/train_flagship_width.py:
+    p=64, 224^2, shards->device pool, amp+remat+grad_accum+augment+
+    label_smooth+EMA+MultiStepLR) must generalize far above the 1%
+    random baseline and show both LR milestones acting — the witness
+    that the full production recipe is healthy at real width, not just
+    nfilter=4/64^2 (VERDICT r4 #4)."""
+    if not os.path.exists(_FLAGWIDTH):
+        pytest.skip("results/train_flagship_width.json not generated yet")
+    with open(_FLAGWIDTH) as f:
+        data = json.load(f)
+    assert data["final_val_top1"] >= 30.0, data["final_val_top1"]
+    _milestones_acted(data["curve"], (30, 60))
+    # generalization, not memorization: val starts near random, climbs
+    head = data["curve"][0]
+    assert head["val_top1"] < data["final_val_top1"]
+    # the EMA twin must be tracked and competitive
+    assert data["final_val_top1_ema"] is not None
+    assert data["final_val_top1_ema"] >= data["final_val_top1"] - 10.0
+    # sustained training throughput was recorded on the chip
+    assert data["steady_img_per_sec"] > 200.0, data["steady_img_per_sec"]
