@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--tfilter", type=int, default=4)
     ap.add_argument("--layers", type=int, default=0)
     ap.add_argument("--lut", action="store_true")
+    ap.add_argument("--gates", choices=["dnf", "cnf"], default=None,
+                    help="serve the boolean circuit (device bit-sliced "
+                         "runtime)")
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--requests", type=int, default=200)
     ap.add_argument("--serve_batch", type=int, default=8)
@@ -61,6 +64,8 @@ def main():
             "--root_dir", "/tmp/http_bench"]
     if args.lut:
         argv += ["--lut"]
+    if args.gates:
+        argv += ["--gates", args.gates]
     t = threading.Thread(target=cli_main, args=(argv,),
                          kwargs=dict(serve_ready=ready, serve_stop=stop),
                          daemon=True)
@@ -108,9 +113,13 @@ def main():
 
     lat_ms = np.sort(np.asarray(lat)) * 1e3
     n = len(lat_ms)
+    # name the backend that actually ran, not the request ("default"
+    # said nothing about whether the chip or the CPU served)
+    backend = jax.default_backend()
     res = {
-        "model": args.model + ("+lut" if args.lut else ""),
-        "platform": args.platform or "default",
+        "model": args.model + ("+lut" if args.lut else "")
+        + (f"+gates_{args.gates}" if args.gates else ""),
+        "platform": backend,
         "clients": clients, "requests": n,
         "serve_batch": args.serve_batch,
         "req_per_s": round(n / wall, 2),

@@ -130,6 +130,13 @@ def main():
         make_train_step
     from scale_imagenet_tpu.train.optim import get_ema, params_ema
 
+    # persistent program cache: a relaunch (or a crash retry) skips the
+    # ~8 min train-step + ~30 min eval compiles (smoke: 469s + 1293s)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(OUT)),
+                                   os.pardir, ".xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     t_all = time.time()
     (xtr, ytr), (xva, yva) = make_split()
     shard_dir = "/tmp/flagwidth_shards"
