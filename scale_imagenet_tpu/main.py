@@ -883,10 +883,10 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                                  "drop --fold_bn")
         from .runtime.server import serve
 
-        # --mesh_data -1 = auto: all local devices — except for the
-        # compiled modes: --lut's Pallas gather GSPMD cannot partition,
-        # and --gates' bit-packed lanes don't shard (auto falls back to
-        # one chip; an EXPLICIT multi-device mesh still errors)
+        # --mesh_data -1 = auto: all local devices — except the compiled
+        # modes, which default to one chip (their shard_map dp wrapper
+        # needs --serve_batch divisible by the shard count; an EXPLICIT
+        # --mesh_data N opts in)
         mesh_data = cfg.mesh_data
         if (cfg.lut or cfg.gates) and mesh_data == -1 \
                 and cfg.mesh_model == 1:
@@ -894,17 +894,11 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         mesh = make_mesh(mesh_data, cfg.mesh_model)
         multi = mesh.shape["data"] > 1 or mesh.shape["model"] > 1
         size = getattr(model.config, "image_size", 224)
+        if cfg.sp and (cfg.lut or cfg.gates):
+            raise ValueError(
+                "--sp spatially shards conv math; the compiled serving "
+                "modes (--lut/--gates) walk tables per window — drop one")
         if multi or cfg.sp:
-            if cfg.lut:
-                raise ValueError(
-                    "--lut serving runs the Pallas gather single-chip "
-                    "(GSPMD cannot partition the kernel); mesh-sharded "
-                    "compiled serving is --mode eval --tp --lut")
-            if cfg.gates:
-                raise ValueError(
-                    "--gates serving runs the bit-sliced circuit "
-                    "single-chip (packed int32 lanes don't shard); "
-                    "drop the mesh flags")
             if cfg.serve_batch % mesh.shape["data"]:
                 raise ValueError(
                     f"--serve_batch {cfg.serve_batch} not divisible by "
@@ -925,6 +919,13 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                 "config.performance.gates_device_budget, so it would run "
                 "on the HOST evaluator — which cannot enter the server's "
                 "jitted forward.  Raise the budget, or serve --lut")
+        if multi and (cfg.lut or cfg.gates):
+            # data-parallel COMPILED serving: GSPMD cannot partition the
+            # Pallas gather / packed gate lanes; shard_map runs the
+            # single-device twin per batch slice (tables replicated)
+            from .parallel import shard_map_dp_apply
+
+            model.apply = shard_map_dp_apply(model.apply, mesh)
         eval_tfm, _ = _pick_transforms(model)
         return serve(model, params, state, eval_tfm, (size, size, 3),
                      host=cfg.serve_host, port=cfg.port,
@@ -1036,6 +1037,17 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         model, params, state = _apply_serving_twins(cfg, model, params,
                                                     state, is_coord)
+        if (mesh.shape["data"] > 1 or mesh.shape["model"] > 1) \
+                and not cfg.tp \
+                and (cfg.lut or (cfg.gates
+                                 and getattr(model, "jit_ok", False))):
+            # data-parallel COMPILED serving: GSPMD cannot partition the
+            # Pallas gather / packed gate lanes, but shard_map runs the
+            # unmodified single-device twin on each batch slice (tables
+            # replicated, zero collectives)
+            from .parallel import shard_map_dp_apply
+
+            model.apply = shard_map_dp_apply(model.apply, mesh)
 
         # input source — each process loads 1/world of every global batch
         if cfg.eval_batch_size % world:

@@ -12,6 +12,7 @@ from .mesh import make_mesh, local_batch_size
 from .sharding import (
     batch_sharding,
     replicate,
+    shard_map_dp_apply,
     spatial_sharding,
     ttnet_param_shardings,
     shard_params,
@@ -22,6 +23,7 @@ __all__ = [
     "local_batch_size",
     "batch_sharding",
     "replicate",
+    "shard_map_dp_apply",
     "spatial_sharding",
     "ttnet_param_shardings",
     "shard_params",

@@ -82,3 +82,44 @@ def shard_params(params, mesh: Mesh):
     """Device_put a params/state tree with its TTnet shardings."""
     shardings = ttnet_param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_map_dp_apply(apply, mesh: Mesh):
+    """Data-parallel wrapper for apply fns whose internals GSPMD cannot
+    partition.
+
+    The compiled serving twins contain ops the SPMD partitioner refuses
+    to split — the LUT path's Pallas gather kernel, the gate circuit's
+    packed int32 lanes — so a plain ``jit`` over a multi-device mesh
+    cannot batch-shard them.  ``shard_map`` can: each device runs the
+    UNMODIFIED single-device apply on its batch slice with params /
+    state / tables replicated, zero collectives (the per-device results
+    concatenate along batch by construction).  This is the TPU-native
+    equivalent of serving one model replica per device behind a splitter
+    — without a second program or host round trips.
+
+    The batch must divide by ``mesh.shape['data']`` (callers pad:
+    runtime/server.py pads to --serve_batch; the eval loop pads to the
+    global batch).  Returns an apply with the standard
+    ``(params, state, x, training=..., key=...) -> (out, state)``
+    signature; ``training``/``key`` are ignored exactly as the wrapped
+    serving twins ignore them (compiled forwards are deterministic).
+    """
+
+    def wrapped(params, state, x, training=False, key=None):
+        del training, key
+
+        def local(p, s, xx):
+            out, _ = apply(p, s, xx, training=False, key=None)
+            return out
+
+        rep_p = jax.tree.map(lambda _: P(), params)
+        rep_s = jax.tree.map(lambda _: P(), state)
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(rep_p, rep_s, P(*(("data",) + (None,) * (x.ndim - 1)))),
+            out_specs=P("data"),
+        )(params, state, x)
+        return out, state
+
+    return wrapped

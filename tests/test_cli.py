@@ -103,6 +103,25 @@ def test_cli_lut_serving(fake_imagenet, tmp_path, model):
     assert lut1 == conv  # bit-faithful blocks -> identical argmax/top5
 
 
+def test_cli_dp_compiled_serving(fake_imagenet, tmp_path):
+    """--lut / --gates over a multi-device 'data' mesh WITHOUT --tp:
+    the shard_map dp wrapper runs the single-device compiled twin per
+    batch slice (tables/cubes replicated, zero collectives) — metrics
+    identical to the single-device runs (which equal conv mode)."""
+    args = [
+        "--mode", "eval", "--data_dir", fake_imagenet,
+        "--model", "ttnet_imagenet_xsmall",
+        "--nfilter", "4", "--tfilter", "4", "--layers", "0",
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--root_dir", str(tmp_path), "--log_interval", "1",
+    ]
+    ref = main(args + ["--lut", "--mesh_data", "1"])
+    dp = main(args + ["--lut", "--mesh_data", "2"])
+    assert dp == ref
+    dp4 = main(args + ["--lut", "--mesh_data", "4"])
+    assert dp4 == ref
+
+
 def test_cli_tp_lut_serving(fake_imagenet, tmp_path):
     """--tp --lut: compiled-network serving over the ('data','model')
     mesh — truth tables sharded by channel group; metrics equal the
@@ -501,6 +520,8 @@ def test_cli_gate_eval(tmp_path):
     # device path (default when the cube tensors fit — round 5)
     assert main(args + ["--gates", "dnf"]) == conv
     assert main(args + ["--gates", "cnf"]) == conv
+    # device path dp-sharded over the mesh (shard_map batch slices)
+    assert main(args + ["--gates", "dnf", "--mesh_data", "2"]) == conv
     # forced host path (native word-parallel evaluator) — same metrics
     from scale_imagenet_tpu.config import performance
 

@@ -271,10 +271,39 @@ def test_cli_serve_mesh_sharded(tmp_path):
         stop.set()
         t.join(timeout=60)
 
-    with pytest.raises(ValueError, match="single-chip"):
-        main(["--mode", "serve", "--nfilter", "4", "--tfilter", "4",
-              "--layers", "0", "--lut", "--mesh_data", "2",
-              "--root_dir", str(tmp_path)])
+def test_cli_serve_lut_mesh_dp(tmp_path):
+    """--mode serve --lut --mesh_data 2: data-parallel COMPILED serving —
+    the padded batch shards over 'data' via shard_map (GSPMD cannot
+    partition the Pallas gather; each device walks its batch slice with
+    replicated tables) and answers equal the unsharded forward."""
+    from scale_imagenet_tpu.main import main
+
+    ready = threading.Event()
+    stop = threading.Event()
+    t = threading.Thread(
+        target=main,
+        args=(["--mode", "serve", "--model", "TT_FHE_SMALL",
+               "--nfilter", "4", "--tfilter", "4",
+               "--lut", "--lut_path", str(tmp_path / "luts.npz"),
+               "--mesh_data", "2", "--port", "0", "--serve_batch", "4",
+               "--serve_wait_ms", "1", "--root_dir", str(tmp_path)],),
+        kwargs=dict(serve_ready=ready, serve_stop=stop), daemon=True)
+    t.start()
+    try:
+        assert ready.wait(300), "dp LUT server failed to start"
+        port = ready.port
+
+        model = get_model("TT_FHE_SMALL", nfilter=4, tfilter=4)
+        params, state = model.init(jax.random.PRNGKey(0))  # --seed 0
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        out = _post(port, x.tobytes(), "application/octet-stream")
+        logits, _ = model.apply(params, state, jnp.asarray(x)[None],
+                                training=False)
+        assert out["top5"][0] == int(jnp.argmax(logits[0]))
+    finally:
+        stop.set()
+        t.join(timeout=60)
 
 
 def test_cli_serve_flag_honesty(tmp_path):
@@ -293,8 +322,10 @@ def test_cli_serve_flag_honesty(tmp_path):
                        (["--gates", "dnf", "--lut"], "pick one"),
                        (["--gates", "dnf", "--bf16"], "--bf16"),
                        (["--gates", "dnf", "--fold_bn"], "--fold_bn"),
-                       (["--gates", "dnf", "--mesh_data", "2"],
-                        "single-chip")]:
+                       (["--lut", "--sp", "--mesh_model", "2"],
+                        "--sp"),
+                       (["--lut", "--mesh_data", "3",
+                         "--serve_batch", "4"], "not divisible")]:
         with pytest.raises(ValueError, match=msg):
             main(base + extra)
 
