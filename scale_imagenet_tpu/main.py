@@ -826,7 +826,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                 # synthesizable netlist artifacts of the same circuits
                 from .compile.verilog import export_model_verilog
 
-                compile_fn, _ = _gate_family(model.config)
+                compile_fn, _, _ = _gate_family(model.config)
                 gnets = compile_fn(params, state, model.config)
                 vdir = os.path.join(cfg.compile_out, "verilog")
                 manifest = export_model_verilog(gnets, vdir,
