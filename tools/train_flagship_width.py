@@ -26,6 +26,7 @@ params), loss, LR; plus sustained img/s over the steady-state epochs.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -56,13 +57,29 @@ EVAL_EVERY = 5
 
 def make_split(seed: int = 0):
     """Synthetic 100-class set with a REAL generalization gap (same
-    construction as tools/train_generalization.py): watermark * class
-    base + (1-watermark) * fresh noise; val images are never seen in
-    training.  Train at PRE_CROP^2 (augmentation source), val at
-    CROP^2."""
+    watermark construction as tools/train_generalization.py) — but the
+    class bases are LOW-FREQUENCY (8x8 patterns upsampled to 256^2),
+    because the full recipe includes RandomResizedCrop: a per-pixel iid
+    base is destroyed by crop+rescale (no pixel alignment survives —
+    the first flagship-width run sat at chance for exactly this
+    reason), while a smooth base survives RRC the way real image
+    content does.  watermark * class base + (1-watermark) * fresh
+    noise; val images are never seen in training.  Train at PRE_CROP^2
+    (augmentation source), val at CROP^2."""
     rng = np.random.default_rng(seed)
-    bases = rng.random((N_CLASSES, PRE_CROP, PRE_CROP, 3)) \
-        .astype(np.float32)
+    low = rng.random((N_CLASSES, 8, 8, 3)).astype(np.float32)
+    # bilinear-ish upsample via two rounds of repeat+box-smooth: cheap,
+    # numpy-only, and leaves a smooth (RRC-robust) 256^2 template
+    bases = low.repeat(PRE_CROP // 8, axis=1).repeat(PRE_CROP // 8, axis=2)
+    k = PRE_CROP // 8
+    csum = np.cumsum(np.cumsum(
+        np.pad(bases, ((0, 0), (k, k), (k, k), (0, 0)), mode="edge"),
+        axis=1), axis=2)
+    # box filter of width k (smooths the block edges)
+    bases = (csum[:, k:k + PRE_CROP, k:k + PRE_CROP]
+             - csum[:, :PRE_CROP, k:k + PRE_CROP]
+             - csum[:, k:k + PRE_CROP, :PRE_CROP]
+             + csum[:, :PRE_CROP, :PRE_CROP]) / (k * k)
 
     def batch(n, size, seed2):
         r = np.random.default_rng(seed2)
@@ -273,4 +290,11 @@ def main():
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--watermark", type=float, default=WATERMARK,
+                    help="class-signal blend alpha (task difficulty)")
+    ap.add_argument("--epochs", type=int, default=EPOCHS)
+    ap.add_argument("--out", default=OUT)
+    a = ap.parse_args()
+    WATERMARK, EPOCHS, OUT = a.watermark, a.epochs, a.out
     main()
