@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
                    "results", "train_flagship_width.json")
+SAVE_CKPT = None        # --save_ckpt: native ckpt dir for the final params
 
 N_TRAIN = 8192
 N_VAL = 2048
@@ -260,6 +261,22 @@ def main():
                   f"loss {float(m['loss']):.4f} "
                   f"({time.time()-t_run:.0f}s)", flush=True)
 
+    if SAVE_CKPT:
+        # native checkpoint dir loadable by --ckpt in every CLI mode;
+        # ema twin saved alongside (the deployable averaged params)
+        from scale_imagenet_tpu.runtime.checkpoint import save_checkpoint
+
+        save_checkpoint(SAVE_CKPT,
+                        {"params": ts.params, "state": ts.model_state},
+                        metadata={"tool": "train_flagship_width",
+                                  "epochs": EPOCHS,
+                                  "watermark": WATERMARK})
+        ema = get_ema(ts.opt_state)
+        if ema is not None:
+            save_checkpoint(SAVE_CKPT + "_ema",
+                            {"params": ema, "state": ts.model_state})
+        print(f"saved checkpoint -> {SAVE_CKPT}", flush=True)
+
     img_s = BATCH * steady_steps / steady_s if steady_s else 0.0
     out = {
         "model": "ttnet_imagenet_small nfilter=8 tfilter=8 layers=1 "
@@ -295,6 +312,11 @@ if __name__ == "__main__":
                     help="class-signal blend alpha (task difficulty)")
     ap.add_argument("--epochs", type=int, default=EPOCHS)
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--save_ckpt", default=None,
+                    help="save the final params/state as a native "
+                         "checkpoint dir (loadable via --ckpt, e.g. for "
+                         "--mode compile on the TRAINED tables)")
     a = ap.parse_args()
     WATERMARK, EPOCHS, OUT = a.watermark, a.epochs, a.out
+    SAVE_CKPT = a.save_ckpt
     main()
