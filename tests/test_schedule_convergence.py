@@ -84,3 +84,32 @@ def test_flagship_width_artifact():
     assert data["final_val_top1_ema"] >= data["final_val_top1"] - 10.0
     # sustained training throughput was recorded on the chip
     assert data["steady_img_per_sec"] > 200.0, data["steady_img_per_sec"]
+
+
+_TRAINED_VERIFY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "trained_compile_verify.json")
+
+
+def test_trained_compile_verify_artifact():
+    """The train->compile->serve witness (tools/verify_trained_compile.py)
+    must show the compiled-LUT network IS the trained network on the
+    held-out val set: image-for-image argmax agreement, bit-exact probe
+    logits, and the accuracy of the recorded training run — the trained
+    (not random-init) tables executing as the deployment semantics."""
+    if not os.path.exists(_TRAINED_VERIFY):
+        pytest.skip("results/trained_compile_verify.json not generated yet")
+    with open(_TRAINED_VERIFY) as f:
+        data = json.load(f)
+    assert data["argmax_agreement_pct"] == 100.0, data
+    assert data["probe_logits_bitexact"] is True, data
+    assert data["conv_val_top1"] == data["lut_val_top1"], data
+    assert data["val_set"].startswith("witness held-out"), data
+    # the trained net generalized: far above the 1% random baseline
+    assert data["conv_val_top1"] >= 30.0, data
+    # and matches the training run's own recorded final val top-1
+    if os.path.exists(_FLAGWIDTH):
+        with open(_FLAGWIDTH) as f:
+            trained = json.load(f)
+        assert abs(data["conv_val_top1"]
+                   - trained["final_val_top1"]) <= 2.0, (
+            data["conv_val_top1"], trained["final_val_top1"])
