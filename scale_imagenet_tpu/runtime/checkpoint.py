@@ -81,6 +81,7 @@ def load_checkpoint(path: str, like: Any | None = None):
     the orbax layout and the flat-npz fallback save_checkpoint writes
     when orbax is unavailable (the fallback needs ``like`` — the flat
     leaves are reattached to its treedef)."""
+    path = os.path.abspath(path)   # orbax rejects relative paths
     npz = os.path.join(path, "tree.npz")
     if os.path.exists(npz):
         data = np.load(npz)
