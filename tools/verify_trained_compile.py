@@ -119,11 +119,24 @@ def main(a):
 
     print("compiling the TRAINED truth tables into serving LUTs...",
           flush=True)
+    from scale_imagenet_tpu.compile.truth_table import table_cache
+
+    gnets = None
     t0 = time.time()
-    luts = compile_ttnet_lut(params, state, model.config)
-    lut_compile_s = time.time() - t0
+    with table_cache():     # share 2^n enumerations between LUT + gates
+        luts = compile_ttnet_lut(params, state, model.config)
+        lut_compile_s = time.time() - t0
+        print(f"LUT compile {lut_compile_s:.0f}s", flush=True)
+        if a.gates:
+            from scale_imagenet_tpu.compile.gate_net import \
+                compile_ttnet_gates, total_gates
+            t0 = time.time()
+            gnets = compile_ttnet_gates(params, state, model.config)
+            gate_compile_s = time.time() - t0
+            n_gates = total_gates(gnets)
+            print(f"gate-circuit compile {gate_compile_s:.0f}s "
+                  f"({n_gates:,} gates)", flush=True)
     luts = jax.device_put(luts)
-    print(f"LUT compile {lut_compile_s:.0f}s", flush=True)
 
     t0 = time.time()
     lut_pred = eval_preds(
@@ -140,6 +153,37 @@ def main(a):
     bitexact = bool((lc == ll).all())
     max_abs = float(np.abs(lc - ll).max())
     agree = 100.0 * float((conv_pred == lut_pred).mean())
+
+    gate_res = None
+    if gnets is not None:
+        # the boolean CIRCUIT itself (minimized cube covers, host
+        # word-parallel evaluator) on a val subset: the deployment
+        # semantics behind the published gate counts execute the
+        # trained network
+        from scale_imagenet_tpu.compile.gate_net import gate_ttnet_apply
+        ng = min(a.gates, n_val)
+        t0 = time.time()
+        xg = np.asarray(
+            (jnp.asarray(xva[:ng]).astype(jnp.float32) / 255.0 - mean)
+            / std)
+        gl = gate_ttnet_apply(gnets, params, state, model.config, xg,
+                              form="dnf")
+        gpred = np.asarray(gl).argmax(-1).astype(np.int32)
+        gate_res = {
+            "n_images": int(ng),
+            "total_gates": int(n_gates),
+            "compile_s": round(gate_compile_s, 1),
+            "argmax_agree_with_conv": bool(
+                (gpred == conv_pred[:ng]).all()),
+            "top1_on_subset": round(
+                100.0 * float((gpred == yva[:ng]).mean()), 2),
+            "eval_s": round(time.time() - t0, 1),
+        }
+        print(f"gate circuit on {ng} val images: "
+              f"{gate_res['top1_on_subset']}% top-1, agree_with_conv="
+              f"{gate_res['argmax_agree_with_conv']} "
+              f"({gate_res['eval_s']}s)", flush=True)
+        assert gate_res["argmax_agree_with_conv"], gate_res
 
     res = {
         "ckpt": os.path.relpath(a.ckpt, os.path.join(_HERE, os.pardir)),
@@ -161,6 +205,8 @@ def main(a):
         "backend": jax.devices()[0].platform,
         "wall_s": round(time.time() - t_all, 1),
     }
+    if gate_res is not None:
+        res["gate_circuit"] = gate_res
     assert agree == 100.0, res
     assert abs(conv_top1 - lut_top1) < 1e-6, res
     with open(os.path.abspath(a.out), "w") as f:
@@ -181,6 +227,11 @@ if __name__ == "__main__":
     ap.add_argument("--n_classes", type=int, default=100)
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--gates", type=int, default=0,
+                    help="also compile the gate CIRCUIT (minimized cube "
+                         "covers) and evaluate N val images through the "
+                         "host word-parallel evaluator, asserting argmax "
+                         "agreement with conv")
     ap.add_argument("--synthetic_val", type=int, default=0,
                     help="mechanics smoke: N random val images instead "
                          "of the witness task (accuracy is meaningless; "
