@@ -312,6 +312,11 @@ MODEL_REGISTRY: dict[str, Callable[..., ModelDef]] = {
     "ttnet_imagenet_xsmall": _ttnet_imagenet("ttnet_imagenet_xsmall",
                                              "xsmall"),
     "ttnet_imagenet_v2": _ttnet_imagenet("ttnet_imagenet_v2", "v2"),
+    # beyond-reference serving variant: n=8 head3/convf tables (see
+    # BLOCK_VARIANTS["small_g8"]) — same geometry as the flagship, built
+    # for the compiled-LUT gather whose cost scales with table width
+    "ttnet_imagenet_small_g8": _ttnet_imagenet("ttnet_imagenet_small_g8",
+                                               "small_g8"),
     # reference aliases
     "TT_vf_19lv3_imgnet_small": _ttnet_imagenet("TT_vf_19lv3_imgnet_small",
                                                 "small"),

@@ -38,6 +38,17 @@ BLOCK_VARIANTS = {
                   groupvf=16, fixup="v2small"),
     "xsmall": dict(k12=(2, 2), pad12=(1, 1), groups=(1, 1, 4, 1),
                    groupvf=4, fixup="v2small"),
+    # Beyond-reference deployment variant: identical geometry to "small"
+    # but head3/convf grouped at 8 channels (n=8 truth tables instead of
+    # n=16).  The compiled-LUT gather cost scales with the table's packed
+    # sublane rows (2^n words): the flagship's n=16 head3/convf walks are
+    # ~12 of its ~17 ms row walk at B=256 (results/PERF.md "tax
+    # decomposition"), so narrowing ONLY those heads tests the measured
+    # claim that the LUT-serving ceiling is the table width n, not the
+    # gather kernel.  Heads 1/2 stay k=4 depthwise (n=16) — the conv
+    # geometry, parameter layout, stem and classifier are unchanged.
+    "small_g8": dict(k12=(4, 4), pad12=(2, 2), groups=(1, 1, 8, 1),
+                     groupvf=8, fixup="v2small"),
     # repair_groups: the reference v2 file crashes AS SHIPPED at its own
     # default width (p=64 stage 3: int(512/30)=17 groups on 512 channels,
     # TT_general_imagenet_v2.py:139) — group counts step down to the

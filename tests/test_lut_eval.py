@@ -213,3 +213,30 @@ def test_fhe_lut_rejects_stochastic_and_bireal():
     params, state = m.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="bireal|Bi-Real"):
         compile_tt_fhe_lut(params, state, m.config)
+
+
+def test_small_g8_variant_lut_forward():
+    """The beyond-reference `small_g8` variant (flagship geometry, n=8
+    head3/convf tables — BLOCK_VARIANTS["small_g8"]) compiles and serves
+    bit-faithfully like the flagship; its head3/convf tables really are
+    n=8 (256 entries) while heads 1/2 keep the k=4 depthwise n=16."""
+    m = get_model("ttnet_imagenet_small_g8", nfilter=4, tfilter=4,
+                  layers=0)
+    params, state = m.init(jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda a: a + 0.02 if a.ndim == 1 else a, state)
+
+    luts = compile_ttnet_lut(params, state, m.config)
+    blk0 = luts[0]
+    assert blk0.heads[1].cfg.n_bits == 16     # k=4 depthwise
+    assert blk0.heads[3].cfg.n_bits == 8      # 8 ch/group 1x1
+    assert blk0.convf.cfg.n_bits == 8
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    ref, _ = m.apply(params, state, x)
+    got = lut_ttnet_apply(luts, params, state, m.config, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # the bf16 bit flow (TPU serving default) stays bit-exact
+    got_bf16 = lut_ttnet_apply(luts, params, state, m.config, x,
+                               bits_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got_bf16), np.asarray(got))
