@@ -167,12 +167,15 @@ def dimacs_from_covers(dnf_terms, cnf_terms, n: int,
 def dimacs_from_minterms(minterms, n: int, comment: str = "") -> str:
     """DIMACS ``y <-> f`` encoding straight from a minterm list: minimize
     the function and its complement, then ``dimacs_from_covers``."""
-    from ..native import expand_cover, pack_table_bits
+    from ..native import espresso_cover, pack_table_bits
 
+    # Same minimizer as minimize_packed/compile_block_gates so the
+    # DIMACS clauses correspond cube-for-cube to the DNF/CNF expression
+    # artifacts and gate counts written beside them.
     bits = np.zeros(1 << n, np.uint8)
     bits[list(minterms)] = 1
-    dnf_terms = expand_cover(pack_table_bits(bits), n)
-    cnf_terms = expand_cover(pack_table_bits(1 - bits), n)
+    dnf_terms = espresso_cover(pack_table_bits(bits), n)
+    cnf_terms = espresso_cover(pack_table_bits(1 - bits), n)
     return dimacs_from_covers(dnf_terms, cnf_terms, n, comment=comment)
 
 

@@ -620,6 +620,22 @@ def _apply_serving_twins(cfg, model, params, state, is_coord=True):
     return model, params, state
 
 
+def _wrap_dp_compiled(cfg, model, mesh):
+    """Data-parallel COMPILED serving (shared by eval and serve): GSPMD
+    cannot partition the Pallas gather / packed gate lanes, but shard_map
+    runs the unmodified single-device twin on each batch slice (tables
+    replicated, zero collectives).  No-op unless the mesh is >1 device
+    and the model is a jittable compiled twin (--tp shards the tables by
+    channel group itself; the host gate evaluator cannot be jitted)."""
+    multi = mesh.shape["data"] > 1 or mesh.shape["model"] > 1
+    if multi and not cfg.tp and (
+            cfg.lut or (cfg.gates and getattr(model, "jit_ok", False))):
+        from .parallel import shard_map_dp_apply
+
+        model.apply = shard_map_dp_apply(model.apply, mesh)
+    return model
+
+
 def _pick_transforms(model):
     """(eval_tfm, train_tfm) for directory datasets, by the model's
     native resolution: the ImageNet 256→224 pipeline for 224² models,
@@ -919,13 +935,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
                 "config.performance.gates_device_budget, so it would run "
                 "on the HOST evaluator — which cannot enter the server's "
                 "jitted forward.  Raise the budget, or serve --lut")
-        if multi and (cfg.lut or cfg.gates):
-            # data-parallel COMPILED serving: GSPMD cannot partition the
-            # Pallas gather / packed gate lanes; shard_map runs the
-            # single-device twin per batch slice (tables replicated)
-            from .parallel import shard_map_dp_apply
-
-            model.apply = shard_map_dp_apply(model.apply, mesh)
+        model = _wrap_dp_compiled(cfg, model, mesh)
         eval_tfm, _ = _pick_transforms(model)
         return serve(model, params, state, eval_tfm, (size, size, 3),
                      host=cfg.serve_host, port=cfg.port,
@@ -1037,17 +1047,7 @@ def main(argv=None, *, serve_ready=None, serve_stop=None):
         local_batch_size(cfg.eval_batch_size, mesh)  # clear divisibility err
         model, params, state = _apply_serving_twins(cfg, model, params,
                                                     state, is_coord)
-        if (mesh.shape["data"] > 1 or mesh.shape["model"] > 1) \
-                and not cfg.tp \
-                and (cfg.lut or (cfg.gates
-                                 and getattr(model, "jit_ok", False))):
-            # data-parallel COMPILED serving: GSPMD cannot partition the
-            # Pallas gather / packed gate lanes, but shard_map runs the
-            # unmodified single-device twin on each batch slice (tables
-            # replicated, zero collectives)
-            from .parallel import shard_map_dp_apply
-
-            model.apply = shard_map_dp_apply(model.apply, mesh)
+        model = _wrap_dp_compiled(cfg, model, mesh)
 
         # input source — each process loads 1/world of every global batch
         if cfg.eval_batch_size % world:

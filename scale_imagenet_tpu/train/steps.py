@@ -261,8 +261,7 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         loss = cross_entropy(logits, labels, smoothing=label_smooth)
         return loss, (new_state, logits)
 
-    def grad_phase(params, model_state, images, labels, key,
-                   axis=None):
+    def grad_phase(params, model_state, images, labels, key):
         """Gradients + metrics at FIXED params; microbatched when
         accum > 1 (grads/metrics averaged, BN state threaded)."""
         if accum == 1:
@@ -315,7 +314,7 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
             # across the global batch
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         grads, new_state, loss, top1, top5 = grad_phase(
-            ts.params, ts.model_state, images, labels, key, axis=axis)
+            ts.params, ts.model_state, images, labels, key)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)

@@ -243,45 +243,48 @@ def test_tp_ema_matches_single_device():
     from scale_imagenet_tpu.train.optim import get_ema, params_ema
 
     jax.config.update("jax_enable_x64", True)
-    model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
-                      layers=0)
-    params, state = model.init(jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
-    state = jax.tree.map(lambda a: a.astype(jnp.float64), state)
-    base, _ = make_optimizer(lr=0.1, milestones=(100,))
-    tx = optax.chain(base, params_ema(0.9))
-    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 224, 224, 3),
-                                jnp.float64)
-    labels = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 1000)
-    key = jax.random.PRNGKey(3)
+    try:
+        model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
+                          layers=0)
+        params, state = model.init(jax.random.PRNGKey(0))
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        state = jax.tree.map(lambda a: a.astype(jnp.float64), state)
+        base, _ = make_optimizer(lr=0.1, milestones=(100,))
+        tx = optax.chain(base, params_ema(0.9))
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (4, 224, 224, 3), jnp.float64)
+        labels = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 1000)
+        key = jax.random.PRNGKey(3)
 
-    # data=1: with >1 data shards the TP step's per-shard BN statistics
-    # legitimately differ from the single-device full-batch stats
-    mesh = make_mesh(data=1, model=2)
-    with mesh:
-        ts = TrainState(jax.tree.map(jnp.copy, params),
-                        jax.tree.map(jnp.copy, state),
-                        tx.init(params), jnp.zeros((), jnp.int32))
-        ts = shard_train_state_tp(ts, mesh)
-        step = make_tp_train_step(model, tx, mesh)
-        imgs = jax.device_put(images, NamedSharding(
-            mesh, P("data", None, None, None)))
-        lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
-        ts, _ = step(ts, imgs, lbls, key)
-        ts, _ = step(ts, imgs, lbls, key)
-        tp_ema = get_ema(ts.opt_state)
-        assert tp_ema is not None
+        # data=1: with >1 data shards the TP step's per-shard BN
+        # statistics legitimately differ from the single-device
+        # full-batch stats
+        mesh = make_mesh(data=1, model=2)
+        with mesh:
+            ts = TrainState(jax.tree.map(jnp.copy, params),
+                            jax.tree.map(jnp.copy, state),
+                            tx.init(params), jnp.zeros((), jnp.int32))
+            ts = shard_train_state_tp(ts, mesh)
+            step = make_tp_train_step(model, tx, mesh)
+            imgs = jax.device_put(images, NamedSharding(
+                mesh, P("data", None, None, None)))
+            lbls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+            ts, _ = step(ts, imgs, lbls, key)
+            ts, _ = step(ts, imgs, lbls, key)
+            tp_ema = get_ema(ts.opt_state)
+            assert tp_ema is not None
 
-    ts0 = TrainState(params, state, tx.init(params),
-                     jnp.zeros((), jnp.int32))
-    sstep = make_train_step(model, tx)
-    ts0, _ = sstep(ts0, images, labels, key)
-    ts0, _ = sstep(ts0, images, labels, key)
-    ref_ema = get_ema(ts0.opt_state)
-    for (path, a), (_, b) in zip(
-            jax.tree_util.tree_flatten_with_path(ref_ema)[0],
-            jax.tree_util.tree_flatten_with_path(tp_ema)[0]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-9, atol=1e-11,
-                                   err_msg=str(path))
-    jax.config.update("jax_enable_x64", False)
+        ts0 = TrainState(params, state, tx.init(params),
+                         jnp.zeros((), jnp.int32))
+        sstep = make_train_step(model, tx)
+        ts0, _ = sstep(ts0, images, labels, key)
+        ts0, _ = sstep(ts0, images, labels, key)
+        ref_ema = get_ema(ts0.opt_state)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(ref_ema)[0],
+                jax.tree_util.tree_flatten_with_path(tp_ema)[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-11,
+                                       err_msg=str(path))
+    finally:
+        jax.config.update("jax_enable_x64", False)

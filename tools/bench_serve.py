@@ -23,22 +23,35 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
 ITERS = 10
 
 
-def in_graph_ms(apply_fn, params, state, x) -> float:
-    @jax.jit
-    def loop(params, state, x):
-        def body(i, acc):
-            logits = apply_fn(params, state,
-                              x + (acc * 0.0).astype(x.dtype))
-            return acc + logits[0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+def in_graph_ms_n(fn, *args, iters: int | None = None) -> float:
+    """Generic in-graph timing: ms per call of ``fn(*args)``.
 
-    params = jax.device_put(params)
-    state = jax.device_put(state)
-    x = jax.device_put(x)
-    float(loop(params, state, x))  # compile + warm
+    The accumulator perturbs the LAST arg (data dependency chains the
+    iterations so none can be elided) and the final host float() read
+    closes the timing region — block_until_ready can return early over
+    the experimental axon tunnel.  This is THE tunnel-timing recipe;
+    every tools/ bench imports it from here rather than copying it.
+    """
+    iters = ITERS if iters is None else iters
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            a2 = list(a)
+            a2[-1] = a2[-1] + (acc * 0.0).astype(a2[-1].dtype)
+            out = fn(*a2)
+            return acc + out.reshape(-1)[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    args = jax.device_put(args)
+    float(loop(*args))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(params, state, x))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+    float(loop(*args))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def in_graph_ms(apply_fn, params, state, x) -> float:
+    return in_graph_ms_n(apply_fn, params, state, x)
 
 
 def main():

@@ -14,7 +14,8 @@ x (128,58,58,64) pre-padded bits -> conv1 k=4 s=2 G=64 -> (128,28,28,512).
 
 from __future__ import annotations
 
-import time
+import importlib.util as _ilu
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,21 +28,15 @@ K, S = 4, 2
 HO = (H - K) // S + 1
 ITERS = 30
 
+_spec = _ilu.spec_from_file_location(
+    "bench_serve", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_serve.py"))
+_bs = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_bs)
+
 
 def in_graph_ms(fn, *args):
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            a2 = list(a)
-            a2[0] = a2[0] + (acc * 0.0).astype(a2[0].dtype)
-            out = fn(*a2)
-            return acc + out.reshape(-1)[0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
-    args = jax.device_put(args)
-    float(loop(*args))
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+    return _bs.in_graph_ms_n(fn, *args, iters=ITERS)
 
 
 def conv_fwd(x, w, out_dtype=None):

@@ -2,7 +2,7 @@
 LUT serving path, vs the current NHWC adapter.  TPU-only, writes nothing;
 numbers land in results/PERF.md by hand."""
 
-import time
+import os
 
 import jax
 import jax.numpy as jnp
@@ -13,23 +13,14 @@ from scale_imagenet_tpu.compile.lut_eval import (
     _use_pallas, constant_pad2d)
 from scale_imagenet_tpu.pallas.lut_gather import lut_gather
 
-ITERS = 10
+import importlib.util as _ilu
 
-
-def in_graph_ms(fn, *args):
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            a2 = list(a)
-            a2[-1] = a2[-1] + (acc * 0.0).astype(a2[-1].dtype)
-            out = fn(*a2)
-            return acc + out.reshape(-1)[0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
-    args = jax.device_put(args)
-    float(loop(*args))
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+_spec = _ilu.spec_from_file_location(
+    "bench_serve", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_serve.py"))
+_bs = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_bs)
+in_graph_ms = _bs.in_graph_ms_n  # the shared tunnel-timing recipe
 
 
 def block_apply_nhwc(lut, x_bits):
@@ -190,8 +181,6 @@ def transpose_tax(luts, params, state, cfg, x):
 
 
 def main():
-    import os
-
     model = get_model("ttnet_imagenet_small", nfilter=8, tfilter=8,
                       layers=1)
     params, state = model.init(jax.random.PRNGKey(0))
@@ -250,12 +239,16 @@ def main():
         def full(p, s, xx):
             return lut_ttnet_apply(luts, p, s, model.config, xx)
 
-        for name, fn_gather in (("real", real), ("stub", stub)):
-            LG.lut_gather_nhwc = fn_gather
-            ms = in_graph_ms(full, params_d, state_d, x)
-            print(f"full model b{B} gather={name}: {ms:7.2f} ms",
-                  flush=True)
-        LG.lut_gather_nhwc = real
+        try:
+            for name, fn_gather in (("real", real), ("stub", stub)):
+                LG.lut_gather_nhwc = fn_gather
+                ms = in_graph_ms(full, params_d, state_d, x)
+                print(f"full model b{B} gather={name}: {ms:7.2f} ms",
+                      flush=True)
+        finally:
+            # a mid-sweep exception (tunnel timeout) must not leave the
+            # zeros stub patched in for anything that runs after
+            LG.lut_gather_nhwc = real
         return
 
     for name, fn in (("nhwc", block_apply_nhwc), ("nchw", block_apply_nchw)):

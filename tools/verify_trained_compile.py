@@ -77,7 +77,21 @@ def main(a):
                .astype(np.int32))
     else:
         tfw = _load_witness_module()
-        tfw.WATERMARK = a.watermark    # match the training run's task
+        wm = a.watermark
+        if wm is None:
+            # Match the training run's task: the trainer records its
+            # watermark in the checkpoint metadata (train_flagship_width
+            # .py save_checkpoint metadata=).  A mismatched blend would
+            # rebuild a DIFFERENT held-out val set and silently break the
+            # "accuracy equals the recorded final val top-1" claim.
+            meta_path = os.path.join(a.ckpt, "metadata.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    wm = json.load(f).get("watermark")
+            if wm is None:
+                wm = tfw.WATERMARK  # trainer default
+            print(f"watermark from checkpoint metadata: {wm}", flush=True)
+        tfw.WATERMARK = float(wm)
         (_, _), (xva, yva) = tfw.make_split()
         assert a.crop == tfw.CROP and a.n_classes == tfw.N_CLASSES
     n_val = len(xva) - len(xva) % batch
@@ -219,7 +233,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=os.path.join(
         _HERE, os.pardir, "results", "ckpt_flagwidth"))
-    ap.add_argument("--watermark", type=float, default=0.05)
+    ap.add_argument("--watermark", type=float, default=None,
+                    help="val-set class-base blend; default: read from "
+                         "the checkpoint's metadata.json")
     ap.add_argument("--out", default=OUT)
     ap.add_argument("--nfilter", type=int, default=8)
     ap.add_argument("--tfilter", type=int, default=8)
